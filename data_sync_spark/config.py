@@ -1,0 +1,42 @@
+"""Pipeline configuration (reference ``[[mysql_task]]`` analog).
+
+Mirrors ``MysqlTaskConfig`` (``/root/reference/src/infrastructure/config/
+config.go:63-79`` / ``conf/iot.sync.toml:36-47``): data mode, include/
+exclude routing, per-source column filters, per-source upsert flag, plus the
+custom transform hook name. JSON-serializable so it can ride along with a
+spark-submit job.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    data_mode: str = "ALL"  # ALL | PART
+    include_sources: list[str] = field(default_factory=list)
+    exclude_sources: list[str] = field(default_factory=list)
+    # per-source payload columns to filter out (key cols never filtered)
+    filter_cols: dict[str, list[str]] = field(default_factory=dict)
+    # per-source upsert flag; sources absent here default to upsert=False,
+    # matching the reference (IsUpsert returns false for unknown tables,
+    # regular_base.go:44-49)
+    upsert: dict[str, bool] = field(default_factory=dict)
+    # applies to sources not listed in `upsert`
+    default_upsert: bool = True
+    # named transform from operators.transforms registry
+    transform: str | None = None
+    # keep unknown event columns and evolve the target schema
+    evolve_schema: bool = True
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return cls(**json.loads(s))
+
+
+ALL_UPSERT = PipelineConfig()

@@ -1,0 +1,548 @@
+"""LakeTable — a minimal snapshot-versioned ACID table format on parquet.
+
+This sandbox has no Iceberg/Delta runtime jar, so the Iceberg role from
+``BASELINE.json`` is played by this module: an Iceberg-shaped table format
+(immutable parquet data files + JSON manifest per snapshot + an atomically
+swapped pointer) implemented over the local filesystem. The *semantics* are
+the ones the north star demands and the ones a production deployment would
+get from Iceberg:
+
+* **Atomic commits / snapshot isolation** — a snapshot is a JSON manifest
+  listing every live data file; readers resolve the ``LATEST`` pointer once
+  and see a consistent file set; the pointer swap is ``os.replace`` (atomic
+  on POSIX). A half-written manifest is never referenced.
+* **Bucket partitioning** — rows are assigned ``bucket =
+  pmod(xxhash64(doc_id), n_buckets)`` (Iceberg's ``bucket(N, doc_id)``
+  transform). MERGE rewrites **only the buckets touched by the batch**
+  (copy-on-write with partition pruning) — this is what keeps per-batch
+  write amplification bounded at 100 TB: cost scales with
+  ``|affected buckets| / n_buckets`` of the table, not table size.
+* **Exactly-once** — each commit records ``(app_id → last_batch_id)``; a
+  replayed ``foreachBatch`` epoch (after checkpoint resume) is detected and
+  skipped. Analog of the reference's idempotence-by-SQL-semantics comment
+  ``/root/reference/src/application/mysql_handler.go:107-119``, made
+  transactional.
+* **Schema evolution** — the manifest owns the schema; ``add_columns`` is a
+  metadata-only commit; old files are read schema-on-read with null fill
+  (Iceberg add-column semantics). Reference analog: the 10s-TTL ``DESC``
+  cache (``mysql_handler.go:282-294``).
+
+Single-writer assumption (one streaming query per table), as with the
+reference's single handler goroutine; concurrent commits raise
+``CommitConflict``. File listing uses ``os`` because the sandbox is a local
+FS; on a real cluster this layer *is* Iceberg and the rest of the engine is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_sync_spark.schema import KEY_COL
+
+_BUCKET = "_bucket"
+_MANIFEST_DIR = "_manifests"
+_LATEST = "LATEST"
+# Net-change batches below this row count are broadcast to every join with
+# the (much larger) target scan; bigger batches (initial backfill) fall back
+# to a shuffle join that AQE can still convert/skew-split at runtime.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer was about to."""
+
+
+@dataclass
+class MergeResult:
+    """Per-merge lineage: the north star's applied/skipped accounting."""
+
+    committed: bool
+    version: int | None
+    batch_id: int | None
+    net_rows: int = 0
+    upserts: int = 0
+    deletes_applied: int = 0
+    inserts_skipped: int = 0  # append-mode insert hit an existing key
+    updates_skipped: int = 0  # non-upsert update matched no row
+    deletes_skipped: int = 0  # delete matched no row
+    rows_carried: int = 0  # untouched rows rewritten within affected buckets
+    affected_buckets: list[int] = field(default_factory=list)
+    files_written: int = 0
+    evolved_columns: list[str] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}
+
+
+def bucket_expr(n_buckets: int, key_col: str = KEY_COL):
+    """Iceberg-style ``bucket(N, key)`` partition transform."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_col: str = KEY_COL,
+    ) -> "LakeTable":
+        table = cls(spark, path)
+        mdir = os.path.join(table.path, _MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        if os.path.exists(os.path.join(mdir, _LATEST)):
+            raise FileExistsError(f"table already exists at {path}")
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": schema.jsonValue(),
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "files": {},
+            "apps": {},
+            "summary": {"operation": "create"},
+        }
+        table._write_manifest(manifest)
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        table = cls(spark, path)
+        table.current()  # raises if missing
+        return table
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, _MANIFEST_DIR, _LATEST))
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+    def current(self) -> dict:
+        latest = os.path.join(self.path, _MANIFEST_DIR, _LATEST)
+        with open(latest) as f:
+            version = int(f.read().strip())
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> int:
+        """Write manifest ``version`` atomically and swing the pointer.
+
+        O_EXCL on the manifest file detects a concurrent writer that claimed
+        the same version; the pointer swap via os.replace is atomic, so a
+        crash at any point leaves either the old or the new snapshot fully
+        visible, never a torn state.
+        """
+        version = manifest["version"]
+        mpath = self._manifest_path(version)
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.path, _MANIFEST_DIR, f".latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, _MANIFEST_DIR, _LATEST))
+        return version
+
+    # -------------------------------------------------------------- metadata
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.current()["schema"])
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.current()["n_buckets"])
+
+    @property
+    def key_col(self) -> str:
+        return self.current().get("key_col", KEY_COL)
+
+    def last_batch_id(self, app_id: str) -> int | None:
+        app = self.current()["apps"].get(app_id)
+        return None if app is None else int(app["last_batch_id"])
+
+    def history(self) -> list[dict]:
+        out = []
+        m = self.current()
+        while m is not None:
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "summary": m.get("summary", {}),
+                    "apps": m.get("apps", {}),
+                }
+            )
+            parent = m["parent"]
+            if parent is None:
+                break
+            with open(self._manifest_path(parent)) as f:
+                m = json.load(f)
+        return out
+
+    # ------------------------------------------------------------------ read
+    def _files(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+        files: list[str] = []
+        for b, paths in manifest["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.path, p) for p in paths)
+        return files
+
+    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Snapshot read; optional bucket pruning (the MERGE fast path) and
+        time travel by snapshot version."""
+        if version is None:
+            manifest = self.current()
+        else:
+            with open(self._manifest_path(version)) as f:
+                manifest = json.load(f)
+        schema = T.StructType.fromJson(manifest["schema"])
+        files = self._files(manifest, buckets)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema → schema-on-read: files written before an
+        # add-column evolution are null-filled (Iceberg semantics).
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # ----------------------------------------------------------------- write
+    def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+        """Write ``df`` (payload + _bucket col) under data/s{version}/ and
+        return {bucket: [relative file paths]}."""
+        rel_dir = os.path.join("data", f"s{version:08d}")
+        out_dir = os.path.join(self.path, rel_dir)
+        # One shuffle keyed by bucket so each bucket lands in few files;
+        # partitionBy splits directories exactly per bucket regardless.
+        df.repartition(_bucket_parallelism(df, self.spark), F.col(_BUCKET)).write.partitionBy(
+            _BUCKET
+        ).mode("overwrite").parquet(out_dir)
+        files: dict[str, list[str]] = {}
+        if not os.path.isdir(out_dir):
+            return files
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{_BUCKET}="):
+                continue
+            b = str(int(entry.split("=", 1)[1]))
+            bdir = os.path.join(out_dir, entry)
+            files[b] = sorted(
+                os.path.join(rel_dir, entry, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            )
+        return files
+
+    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project/cast ``df`` to exactly ``schema`` (missing → null)."""
+        cols = []
+        present = {f.name for f in df.schema.fields}
+        for f in schema.fields:
+            if f.name in present:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def append(self, df: DataFrame, app_id: str | None = None, batch_id: int | None = None) -> int:
+        """Append-only fast path (initial load / insert-only feeds): no join
+        against the target at all — new files are added to every bucket."""
+        manifest = self.current()
+        if app_id is not None and batch_id is not None:
+            last = manifest["apps"].get(app_id)
+            if last is not None and batch_id <= int(last["last_batch_id"]):
+                return -1
+        schema = T.StructType.fromJson(manifest["schema"])
+        version = manifest["version"] + 1
+        out = self._conform(df, schema).withColumn(
+            _BUCKET, bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL))
+        )
+        new_files = self._write_buckets(out, version)
+        files = {k: list(v) for k, v in manifest["files"].items()}
+        for b, paths in new_files.items():
+            files.setdefault(b, [])
+            files[b] = files[b] + paths
+        apps = dict(manifest["apps"])
+        if app_id is not None and batch_id is not None:
+            apps[app_id] = {"last_batch_id": batch_id}
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": manifest["version"],
+                "schema": manifest["schema"],
+                "n_buckets": manifest["n_buckets"],
+                "key_col": manifest.get("key_col", KEY_COL),
+                "files": files,
+                "apps": apps,
+                "summary": {"operation": "append"},
+            }
+        )
+        return version
+
+    def add_columns(self, fields: list[T.StructField]) -> int:
+        """Metadata-only schema evolution (Iceberg safe add-column)."""
+        manifest = self.current()
+        schema = T.StructType.fromJson(manifest["schema"])
+        existing = {f.name for f in schema.fields}
+        new_fields = [f for f in fields if f.name not in existing]
+        if not new_fields:
+            return manifest["version"]
+        for f in new_fields:
+            schema = schema.add(T.StructField(f.name, f.dataType, True))
+        version = manifest["version"] + 1
+        self._write_manifest(
+            {
+                **manifest,
+                "version": version,
+                "parent": manifest["version"],
+                "schema": schema.jsonValue(),
+                "summary": {
+                    "operation": "add-columns",
+                    "columns": [f.name for f in new_fields],
+                },
+            }
+        )
+        return version
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        net: DataFrame,
+        app_id: str = "default",
+        batch_id: int | None = None,
+        auto_evolve: bool = True,
+        extra_summary: dict | None = None,
+    ) -> MergeResult:
+        """Set-oriented MERGE of a net change set into the table.
+
+        ``net`` must hold **one row per key** in the net-effect encoding
+        produced by :func:`data_sync_spark.operators.dedup.net_effect`::
+
+            key, log_offset, seq,
+            m_action: set|keep|drop,   m_val: struct<payload>,
+            u_action: set|none,        u_val: struct<payload>
+
+        i.e. the outcome for the key if it is matched in the target
+        (set new image / keep target row / delete) and if it is not
+        (insert image / nothing). This one encoding subsumes the
+        reference's four serializer behaviors INSERT/UPDATE/DELETE/UPSERT
+        (``/root/reference/src/infrastructure/repo/serializer/
+        serializer.go:33-45``) for whole batches at a time.
+
+        Copy-on-write with **bucket pruning**: only buckets containing
+        changed keys are read and rewritten; all other buckets' files are
+        carried forward by reference. All joins broadcast the (small) change
+        set; per-batch cost is O(|affected buckets| + |net|), independent of
+        total table size.
+        """
+        manifest = self.current()
+        if batch_id is not None:
+            last = manifest["apps"].get(app_id)
+            if last is not None and batch_id <= int(last["last_batch_id"]):
+                # Replayed epoch after checkpoint resume → exactly-once skip.
+                return MergeResult(committed=False, version=None, batch_id=batch_id)
+
+        schema = T.StructType.fromJson(manifest["schema"])
+        key_col = manifest.get("key_col", KEY_COL)
+        n_buckets = manifest["n_buckets"]
+
+        evolved: list[str] = []
+        payload_struct: T.StructType = net.schema["m_val"].dataType
+        if auto_evolve:
+            known = {f.name for f in schema.fields}
+            new_fields = [f for f in payload_struct.fields if f.name not in known]
+            if new_fields:
+                for f in new_fields:
+                    schema = schema.add(T.StructField(f.name, f.dataType, True))
+                evolved = [f.name for f in new_fields]
+
+        net = net.withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
+        net = net.persist()
+        try:
+            net_rows = net.count()
+            if net_rows == 0:
+                return MergeResult(committed=False, version=None, batch_id=batch_id)
+            small = net_rows <= BROADCAST_MAX_ROWS
+            s_matched = net.select(key_col, "m_action", "m_val")
+            s_keys = net.select(key_col)
+            if small:
+                s_matched = F.broadcast(s_matched)
+                s_keys = F.broadcast(s_keys)
+
+            affected = sorted(
+                r[0] for r in net.select(_BUCKET).distinct().collect()
+            )
+            # Conform to the (possibly evolved) schema so old files expose
+            # the new columns as nulls.
+            target = self._conform(self.read(buckets=affected), schema)
+
+            payload = [f.name for f in schema.fields]
+
+            def from_struct(col_name: str) -> list:
+                present = {f.name for f in payload_struct.fields}
+                cols = []
+                for f in schema.fields:
+                    if f.name == key_col:
+                        cols.append(F.col(key_col))
+                    elif f.name in present:
+                        cols.append(
+                            F.col(f"{col_name}.{f.name}").cast(f.dataType).alias(f.name)
+                        )
+                    else:
+                        cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                return cols
+
+            # Rows of affected buckets whose key is untouched: carried as-is.
+            # (anti join, build side = broadcast change keys)
+            kept = target.join(s_keys, key_col, "left_anti")
+            # Keys present in both sides: apply the matched-branch action.
+            t_pref = target.select(
+                key_col,
+                *[F.col(c).alias(f"_t_{c}") for c in payload if c != key_col],
+            )
+            obs_matched = Observation("merge-matched")
+            mjoin = t_pref.join(s_matched, key_col, "inner").observe(
+                obs_matched,
+                F.sum(F.when(F.col("m_action") == "drop", 1).otherwise(0)).alias("dropped"),
+                F.sum(F.when(F.col("m_action") == "keep", 1).otherwise(0)).alias("kept_as_is"),
+            )
+            resolved = mjoin.filter(F.col("m_action") != "drop").select(
+                *[
+                    F.col(key_col)
+                    if c == key_col
+                    else F.when(F.col("m_action") == "keep", F.col(f"_t_{c}"))
+                    .otherwise(
+                        F.col(f"m_val.{c}").cast(schema[c].dataType)
+                        if c in {f.name for f in payload_struct.fields}
+                        else F.lit(None).cast(schema[c].dataType)
+                    )
+                    .alias(c)
+                    for c in payload
+                ]
+            )
+            # Keys never seen in the target: the semi scan below reads ONLY
+            # the key column of the affected-bucket files (column pruning)
+            # and its result is at most |net| rows, so it broadcasts into the
+            # anti join against the change set.
+            matched_keys = target.join(s_keys, key_col, "left_semi").select(key_col)
+            if small:
+                matched_keys = F.broadcast(matched_keys)
+            new_rows = (
+                net.join(matched_keys, key_col, "left_anti")
+                .filter(F.col("u_action") == "set")
+                .select(*from_struct("u_val"))
+            )
+
+            obs = Observation("merge")
+            marker = (
+                self._conform(kept, schema)
+                .withColumn("_from", F.lit("kept"))
+                .unionByName(resolved.withColumn("_from", F.lit("resolved")))
+                .unionByName(new_rows.withColumn("_from", F.lit("new")))
+            )
+            out = (
+                marker.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows_out"),
+                    F.sum(F.when(F.col("_from") == "kept", 1).otherwise(0)).alias("kept"),
+                    F.sum(F.when(F.col("_from") == "resolved", 1).otherwise(0)).alias(
+                        "resolved"
+                    ),
+                    F.sum(F.when(F.col("_from") == "new", 1).otherwise(0)).alias("new"),
+                )
+                .drop("_from")
+                .withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
+            )
+
+            version = manifest["version"] + 1
+            new_files = self._write_buckets(out, version)
+            got = _safe_obs(obs, {"rows_out": 0, "kept": 0, "resolved": 0, "new": 0})
+
+            files = {
+                b: list(paths)
+                for b, paths in manifest["files"].items()
+                if int(b) not in affected
+            }
+            for b, paths in new_files.items():
+                files[b] = paths
+
+            apps = dict(manifest["apps"])
+            if batch_id is not None:
+                apps[app_id] = {"last_batch_id": batch_id}
+
+            summary = {
+                "operation": "merge",
+                "net_rows": net_rows,
+                "affected_buckets": affected,
+                "rows_out": got["rows_out"],
+                **(extra_summary or {}),
+            }
+            self._write_manifest(
+                {
+                    "version": version,
+                    "parent": manifest["version"],
+                    "schema": schema.jsonValue(),
+                    "n_buckets": n_buckets,
+                    "key_col": key_col,
+                    "files": files,
+                    "apps": apps,
+                    "summary": summary,
+                }
+            )
+            got_m = _safe_obs(obs_matched, {"dropped": 0, "kept_as_is": 0})
+            deletes_applied = int(got_m.get("dropped") or 0)
+            kept_as_is = int(got_m.get("kept_as_is") or 0)
+            return MergeResult(
+                committed=True,
+                version=version,
+                batch_id=batch_id,
+                net_rows=net_rows,
+                upserts=int(got["resolved"] + got["new"]) - kept_as_is,
+                deletes_applied=deletes_applied,
+                inserts_skipped=kept_as_is,
+                rows_carried=int(got["kept"]),
+                affected_buckets=affected,
+                files_written=sum(len(v) for v in new_files.values()),
+                evolved_columns=evolved,
+            )
+        finally:
+            net.unpersist()
+
+
+def _bucket_parallelism(df: DataFrame, spark: SparkSession) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _safe_obs(obs: Observation, defaults: dict) -> dict:
+    """Observation nodes are pruned by PropagateEmptyRelation when the whole
+    observed subtree is statically empty (e.g. first merge into an empty
+    table); ``.get`` then fails. Metrics default to 0 in that case — correct,
+    since the pruned subtree contributed no rows."""
+    try:
+        got = dict(obs.get)
+    except Exception:
+        return dict(defaults)
+    for k, v in defaults.items():
+        if got.get(k) is None:
+            got[k] = v
+    return got

@@ -1,0 +1,69 @@
+"""The filter → transform → route → dedup pipeline.
+
+Vectorized re-expression of the reference's per-event chain
+``handleMqMessage → Filter{Insert,Update,Delete} → serialize → exec``
+(``/root/reference/src/application/mysql_handler.go:121-160``,
+``src/service/mysql_filter_service.go:22-127``): one micro-batch DataFrame
+in, one **net change set** (one row per key, LWW winner, ``_upsert`` flag
+resolved) out, ready for ``LakeTable.merge``. Every stage is a declarative
+DataFrame op so Catalyst fuses the whole thing into a single scan→filter→
+project→hash-agg plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.operators.columns import column_filter, schema_conform
+from data_sync_spark.operators.dedup import net_effect
+from data_sync_spark.operators.route import route_filter
+from data_sync_spark.operators.transforms import get_transform
+from data_sync_spark.schema import META_COLS
+
+
+def upsert_flag_expr(cfg: PipelineConfig, source_col: str = "source"):
+    """Per-source upsert-mode flag (reference F5: per-table ``upsert``
+    config flips INSERT → INSERT…ON DUPLICATE KEY UPDATE,
+    ``regular_base.go:44-49``)."""
+    expr = F.lit(cfg.default_upsert)
+    for src, flag in sorted(cfg.upsert.items()):
+        expr = F.when(F.col(source_col) == src, F.lit(flag)).otherwise(expr)
+    return expr
+
+
+def prepare_events(
+    events: DataFrame,
+    cfg: PipelineConfig,
+    target_schema: T.StructType,
+) -> DataFrame:
+    """Route → column-filter → custom transform → schema-conform.
+
+    Returns the filtered event stream (still multi-event per key)."""
+    df = route_filter(events, cfg.data_mode, cfg.include_sources, cfg.exclude_sources)
+    df = column_filter(df, cfg.filter_cols)
+    df = get_transform(cfg.transform)(df)
+    df = schema_conform(df, target_schema, evolve=cfg.evolve_schema)
+    return df
+
+
+def all_upsert(cfg: PipelineConfig) -> bool:
+    """True when every source is in upsert mode → net_effect can take the
+    single-shuffle LWW fast path."""
+    return cfg.default_upsert and all(cfg.upsert.values())
+
+
+def net_changes(
+    events: DataFrame,
+    cfg: PipelineConfig,
+    target_schema: T.StructType,
+) -> DataFrame:
+    """Full pipeline: prepared events → net-effect collapse. Output: one row
+    per doc_id in the encoding ``LakeTable.merge`` consumes
+    (m_action/u_action + branch row images)."""
+    df = prepare_events(events, cfg, target_schema)
+    df = df.withColumn("_upsert", upsert_flag_expr(cfg))
+    payload_cols = [c for c in df.columns if c not in (*META_COLS, "_upsert")]
+    return net_effect(df, payload_cols, all_upsert=all_upsert(cfg))

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference tunes a MySQL connection pool (64 conns / 10 idle,
+``/root/reference/src/infrastructure/drivers/sqlengine.go:93-123``); our
+analog is Spark task parallelism + AQE. These configs are chosen for the
+100 TB deployment shape (AQE coalescing + skew-join handling make the same
+job run well at local[8] and on a 1000-executor cluster) and are safe on
+``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-sync-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entrypoint serves pytest, bench, and spark-submit (where the
+    cluster manager supplies the master and this arg is left None by the
+    caller anyway — ``SparkSession.builder`` ignores ``master`` if one is
+    already set by spark-submit).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_MASTER" in os.environ:
+        master = os.environ["SPARK_GRAFT_MASTER"]
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+
+    conf = {
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # One shuffle partition per core locally; a real cluster would set
+        # this to ~2-3x total cores (AQE coalesces the excess anyway).
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # Arrow for pandas UDFs / toPandas (the only Python in the hot path).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Deterministic session timezone for reproducible fixtures.
+        "spark.sql.session.timeZone": "UTC",
+        # Keep parquet splits reasonable for the sf0.1 local runs.
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
