@@ -1,0 +1,111 @@
+"""Catch-up backfill — the sync_direct strategy analog.
+
+Reference: a ticker range-scans the source table above a file-checkpointed
+primary-key high-watermark in fixed chunks of 100 rows and re-inserts them
+through the same filter pipeline, advancing the checkpoint after each chunk
+(``/root/reference/src/application/mysql_handler.go:483-604``; chunk limit
+at ``:563``; checkpoint write ``:596``; high-watermark skip ``:510-519``).
+
+Spark version: read the change log above the watermark, process it in
+offset-range chunks through the SAME batch core as streaming
+(``apply_batch``), committing the watermark into the table manifest
+atomically with each MERGE (the reference's checkpoint file is a separate
+non-atomic write — ours can't diverge from the data commit). Chunks are
+orders of magnitude larger than 100: set-oriented MERGE removes the
+reference's per-row bottleneck; the chunking exists only to bound per-batch
+memory and to make progress restartable, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.lake import LakeTable
+from data_sync_spark.metrics import MetricsSink
+from data_sync_spark.streaming.runner import apply_batch
+
+WATERMARK_KEY = "backfill_watermark"
+
+
+def get_watermark(table: LakeTable, app_id: str) -> int:
+    """Latest committed watermark for this backfill app (newest-first walk)."""
+    for m in table.history():
+        wm = m.get("summary", {}).get(WATERMARK_KEY)
+        if wm is not None and m["summary"].get("backfill_app") == app_id:
+            return int(wm)
+    return -1
+
+
+def backfill(
+    spark: SparkSession,
+    source: DataFrame,
+    table: LakeTable,
+    cfg: PipelineConfig,
+    app_id: str = "backfill",
+    chunk_offsets: int = 1_000_000,
+    max_chunks: int | None = None,
+) -> list[dict]:
+    """Catch up ``table`` from the change-log ``source`` above the stored
+    watermark, in offset chunks. Resumable: re-running continues where the
+    last committed chunk left off (D2 high-watermark compare + D6 checkpoint).
+    """
+    sink = MetricsSink(table.path)
+    records: list[dict] = []
+    wm = get_watermark(table, app_id)
+    # D2: skip entirely if nothing above the watermark
+    max_off = source.agg(F.max("log_offset")).collect()[0][0]
+    if max_off is None or wm >= max_off:
+        return records
+
+    chunk_idx = 0
+    base_batch = table.last_batch_id(app_id)
+    next_batch = 0 if base_batch is None else base_batch + 1
+    while wm < max_off:
+        if max_chunks is not None and chunk_idx >= max_chunks:
+            break
+        lo, hi = wm, wm + chunk_offsets
+        chunk = source.filter((F.col("log_offset") > lo) & (F.col("log_offset") <= hi))
+        chunk_wm = min(hi, max_off)
+        # the watermark rides in the MERGE's own manifest commit → advances
+        # atomically with the data (the reference's checkpoint is a separate
+        # non-atomic file write, mysql_handler.go:596)
+        rec = apply_batch(
+            table,
+            chunk,
+            next_batch,
+            cfg,
+            app_id=app_id,
+            sink=sink,
+            extra_summary={WATERMARK_KEY: chunk_wm, "backfill_app": app_id},
+        )
+        if not rec.get("committed"):
+            # empty/replayed chunk → metadata-only watermark commit so
+            # progress still advances
+            _stamp_watermark(table, app_id, chunk_wm)
+        rec[WATERMARK_KEY] = chunk_wm
+        records.append(rec)
+        wm = hi
+        next_batch += 1
+        chunk_idx += 1
+    return records
+
+
+def _stamp_watermark(table: LakeTable, app_id: str, wm: int) -> None:
+    manifest = table.current()
+    if manifest["summary"].get(WATERMARK_KEY) == wm:
+        return
+    table._write_manifest(
+        {
+            **manifest,
+            "version": manifest["version"] + 1,
+            "parent": manifest["version"],
+            "summary": {
+                **manifest["summary"],
+                "operation": "backfill-watermark",
+                WATERMARK_KEY: wm,
+                "backfill_app": app_id,
+            },
+        }
+    )

@@ -1,0 +1,210 @@
+"""spark-submit entrypoint — the engine's operational surface.
+
+The reference runs as a service with strategy bitmask + HTTP admin
+(``/root/reference/src/application/strategy/facade.go:13-17``,
+``src/server/http/server.go``); the Spark-native equivalent is job modes:
+
+* ``gen``      — materialize a deterministic change feed (chunked parquet)
+* ``replay``   — Structured Streaming ingest: feed → foreachBatch MERGE
+                 (sync_mq analog; resumable via --checkpoint)
+* ``backfill`` — chunked catch-up from a static change log above the
+                 committed watermark (sync_direct analog)
+* ``verify``   — consistency audit vs the serial dict-replay oracle
+                 (inspect analog)
+* ``show``     — table state / history / metrics
+
+Run under spark-submit (cluster) or plain python (local[N]):
+
+    spark-submit --py-files data_sync_spark.zip -m data_sync_spark.cli ...
+    python -m data_sync_spark.cli replay --feed /tmp/feed --table /tmp/t ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.schema import TARGET_SCHEMA
+
+
+def _spark(args):
+    from data_sync_spark.session import get_spark
+
+    return get_spark("data-sync-spark-cli", master=args.master)
+
+
+def _load_cfg(args) -> PipelineConfig:
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return PipelineConfig.from_json(f.read())
+    return PipelineConfig()
+
+
+def cmd_gen(args) -> int:
+    from data_sync_spark.generator import write_feed_chunks
+
+    spark = _spark(args)
+    paths = write_feed_chunks(
+        spark,
+        args.out,
+        n_events=args.events,
+        chunk_size=args.chunk_size,
+        n_keys=args.keys,
+        seed=args.seed,
+    )
+    print(json.dumps({"chunks": len(paths), "events": args.events, "out": args.out}))
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.metrics import MetricsSink
+    from data_sync_spark.streaming.runner import run_stream
+
+    spark = _spark(args)
+    cfg = _load_cfg(args)
+    if LakeTable.exists(args.table):
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    q = run_stream(
+        spark,
+        args.feed,
+        table,
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        app_id=args.app_id,
+        max_files_per_trigger=args.files_per_trigger,
+    )
+    q.awaitTermination()
+    recs = MetricsSink(table.path).records()
+    events = sum(r.get("events_in", 0) for r in recs)
+    print(
+        json.dumps(
+            {
+                "batches": len(recs),
+                "events_in": events,
+                "table_version": table.current()["version"],
+                "rows": table.read().count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_backfill(args) -> int:
+    from data_sync_spark.backfill import backfill, get_watermark
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    spark = _spark(args)
+    cfg = _load_cfg(args)
+    if LakeTable.exists(args.table):
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    source = spark.read.schema(EVENT_SCHEMA).parquet(args.feed)
+    recs = backfill(
+        spark, source, table, cfg, app_id=args.app_id, chunk_offsets=args.chunk_offsets
+    )
+    print(
+        json.dumps(
+            {
+                "chunks": len(recs),
+                "watermark": get_watermark(table, args.app_id),
+                "rows": table.read().count(),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from data_sync_spark.inspector import inspect
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.oracle import replay_to_pandas
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    spark = _spark(args)
+    cfg = _load_cfg(args)
+    table = LakeTable.load(spark, args.table)
+    events = spark.read.schema(EVENT_SCHEMA).parquet(args.feed)
+    expected_pdf = replay_to_pandas(
+        events.toPandas(), cfg, target_cols=[f.name for f in table.schema.fields]
+    )
+    expected = spark.createDataFrame(expected_pdf, schema=table.schema)
+    report = inspect(table, expected=expected)
+    print(json.dumps(report.as_dict()))
+    return 0 if report.ok else 1
+
+
+def cmd_show(args) -> int:
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.metrics import MetricsSink
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    m = table.current()
+    out = {
+        "version": m["version"],
+        "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in table.schema.fields],
+        "n_buckets": m["n_buckets"],
+        "rows": table.read().count(),
+        "apps": m["apps"],
+        "history": [h["summary"].get("operation") for h in table.history()][:10],
+        "metric_batches": len(MetricsSink(table.path).records()),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data-sync-spark")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic change feed")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--chunk-size", type=int, default=20_000)
+    g.add_argument("--keys", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    r = sub.add_parser("replay", help="streaming ingest (sync_mq analog)")
+    r.add_argument("--feed", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--config", default=None, help="PipelineConfig JSON file")
+    r.add_argument("--app-id", default="stream")
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--files-per-trigger", type=int, default=1)
+    r.set_defaults(fn=cmd_replay)
+
+    b = sub.add_parser("backfill", help="chunked catch-up (sync_direct analog)")
+    b.add_argument("--feed", required=True)
+    b.add_argument("--table", required=True)
+    b.add_argument("--config", default=None)
+    b.add_argument("--app-id", default="backfill")
+    b.add_argument("--buckets", type=int, default=64)
+    b.add_argument("--chunk-offsets", type=int, default=1_000_000)
+    b.set_defaults(fn=cmd_backfill)
+
+    v = sub.add_parser("verify", help="audit table vs oracle replay (inspect analog)")
+    v.add_argument("--feed", required=True)
+    v.add_argument("--table", required=True)
+    v.add_argument("--config", default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("show", help="table state / history / metrics")
+    s.add_argument("--table", required=True)
+    s.set_defaults(fn=cmd_show)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

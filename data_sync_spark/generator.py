@@ -93,7 +93,7 @@ def change_feed(
     )
 
     is_delete = op == "delete"
-    out = rng.select(
+    cols = [
         op.alias("op"),
         doc_id.alias("doc_id"),
         j.cast("long").alias("log_offset"),
@@ -101,14 +101,13 @@ def change_feed(
         F.when(~is_delete, tokens).alias("tokens"),
         F.when(~is_delete, n_tok).alias("n_tok"),
         src.alias("source"),
-    )
+    ]
     if extra_from is not None:
         quality = (F.pmod(_h(seed, 8, j), F.lit(1000)) / 1000.0).cast("double")
-        out = out.withColumn(
-            "extra_quality",
-            F.when((F.col("log_offset") >= extra_from) & ~is_delete, quality),
+        cols.append(
+            F.when((j >= extra_from) & ~is_delete, quality).alias("extra_quality")
         )
-    return out
+    return rng.select(*cols)
 
 
 def write_feed_chunks(
@@ -116,19 +115,29 @@ def write_feed_chunks(
     out_dir: str,
     n_events: int,
     chunk_size: int,
+    base_offset: int = 0,
     **kwargs,
 ) -> list[str]:
-    """Materialize the feed as ordered parquet chunk dirs (one per
-    micro-batch) for the file-based stream source. Returns chunk paths."""
+    """Materialize the feed as ordered FLAT parquet files (one per
+    micro-batch): the file stream source does not recurse into directories,
+    and one file per trigger ⇒ deterministic micro-batch = chunk. Returns
+    chunk file paths."""
+    import glob
     import os
+    import shutil
 
+    os.makedirs(out_dir, exist_ok=True)
     paths = []
     n_chunks = (n_events + chunk_size - 1) // chunk_size
     for c in range(n_chunks):
         start = c * chunk_size
         n = min(chunk_size, n_events - start)
-        df = change_feed(spark, n, start_offset=start, **kwargs)
+        df = change_feed(spark, n, start_offset=base_offset + start, **kwargs)
+        staging = os.path.join(out_dir, f"_staging-{c:05d}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
         path = os.path.join(out_dir, f"chunk-{c:05d}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        os.replace(part, path)
+        shutil.rmtree(staging)
         paths.append(path)
     return paths

@@ -48,6 +48,10 @@ from pyspark.sql import types as T
 from data_sync_spark.schema import KEY_COL
 
 _BUCKET = "_bucket"
+_VER = "_ver"  # per-row applied version: struct<off: long, seq: int>
+_VER_TYPE = T.StructType(
+    [T.StructField("off", T.LongType()), T.StructField("seq", T.IntegerType())]
+)
 _MANIFEST_DIR = "_manifests"
 _LATEST = "LATEST"
 # Net-change batches below this row count are broadcast to every join with
@@ -211,21 +215,32 @@ class LakeTable:
                 files.extend(os.path.join(self.path, p) for p in paths)
         return files
 
-    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
         """Snapshot read; optional bucket pruning (the MERGE fast path) and
-        time travel by snapshot version."""
+        time travel by snapshot version.
+
+        ``include_internal`` exposes the ``_ver`` column — each row's applied
+        change version ``(log_offset, seq)``, the cross-batch LWW guard.
+        """
         if version is None:
             manifest = self.current()
         else:
             with open(self._manifest_path(version)) as f:
                 manifest = json.load(f)
-        schema = T.StructType.fromJson(manifest["schema"])
+        schema = _physical(T.StructType.fromJson(manifest["schema"]))
         files = self._files(manifest, buckets)
         if not files:
-            return self.spark.createDataFrame([], schema)
-        # Explicit schema → schema-on-read: files written before an
-        # add-column evolution are null-filled (Iceberg semantics).
-        return self.spark.read.schema(schema).parquet(*files)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # Explicit schema → schema-on-read: files written before an
+            # add-column evolution are null-filled (Iceberg semantics).
+            df = self.spark.read.schema(schema).parquet(*files)
+        return df if include_internal else df.drop(_VER)
 
     # ----------------------------------------------------------------- write
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
@@ -274,8 +289,20 @@ class LakeTable:
                 return -1
         schema = T.StructType.fromJson(manifest["schema"])
         version = manifest["version"] + 1
-        out = self._conform(df, schema).withColumn(
-            _BUCKET, bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL))
+        # appended rows get the feed version if present, else (-1,-1) so any
+        # later change wins the cross-batch LWW guard
+        if "log_offset" in df.columns and "seq" in df.columns:
+            ver = F.struct(
+                F.col("log_offset").cast("long").alias("off"),
+                F.col("seq").cast("int").alias("seq"),
+            )
+        else:
+            ver = F.struct(
+                F.lit(-1).cast("long").alias("off"), F.lit(-1).cast("int").alias("seq")
+            )
+        out = self._conform(df.withColumn(_VER, ver), _physical(schema)).withColumn(
+            _BUCKET,
+            bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL)),
         )
         new_files = self._write_buckets(out, version)
         files = {k: list(v) for k, v in manifest["files"].items()}
@@ -376,14 +403,20 @@ class LakeTable:
                     schema = schema.add(T.StructField(f.name, f.dataType, True))
                 evolved = [f.name for f in new_fields]
 
-        net = net.withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
+        net = net.withColumn(_BUCKET, bucket_expr(n_buckets, key_col)).withColumn(
+            _VER,
+            F.struct(
+                F.col("log_offset").cast("long").alias("off"),
+                F.col("seq").cast("int").alias("seq"),
+            ),
+        )
         net = net.persist()
         try:
             net_rows = net.count()
             if net_rows == 0:
                 return MergeResult(committed=False, version=None, batch_id=batch_id)
             small = net_rows <= BROADCAST_MAX_ROWS
-            s_matched = net.select(key_col, "m_action", "m_val")
+            s_matched = net.select(key_col, "m_action", "m_val", _VER)
             s_keys = net.select(key_col)
             if small:
                 s_matched = F.broadcast(s_matched)
@@ -392,19 +425,22 @@ class LakeTable:
             affected = sorted(
                 r[0] for r in net.select(_BUCKET).distinct().collect()
             )
+            phys = _physical(schema)
             # Conform to the (possibly evolved) schema so old files expose
             # the new columns as nulls.
-            target = self._conform(self.read(buckets=affected), schema)
+            target = self._conform(
+                self.read(buckets=affected, include_internal=True), phys
+            )
 
             payload = [f.name for f in schema.fields]
+            struct_fields = {f.name for f in payload_struct.fields}
 
             def from_struct(col_name: str) -> list:
-                present = {f.name for f in payload_struct.fields}
                 cols = []
                 for f in schema.fields:
                     if f.name == key_col:
                         cols.append(F.col(key_col))
-                    elif f.name in present:
+                    elif f.name in struct_fields:
                         cols.append(
                             F.col(f"{col_name}.{f.name}").cast(f.dataType).alias(f.name)
                         )
@@ -415,30 +451,44 @@ class LakeTable:
             # Rows of affected buckets whose key is untouched: carried as-is.
             # (anti join, build side = broadcast change keys)
             kept = target.join(s_keys, key_col, "left_anti")
-            # Keys present in both sides: apply the matched-branch action.
+            # Keys present in both sides: apply the matched-branch action,
+            # guarded by the cross-batch LWW version comparison — a change
+            # older than the row's applied version is a stale replay and is
+            # ignored (the reference's "binlog幂等" idempotence,
+            # mysql_handler.go:107-119, made explicit).
             t_pref = target.select(
                 key_col,
                 *[F.col(c).alias(f"_t_{c}") for c in payload if c != key_col],
+                F.col(_VER).alias("_t_ver"),
             )
+            applies = F.col("_t_ver").isNull() | (F.col(_VER) > F.col("_t_ver"))
             obs_matched = Observation("merge-matched")
             mjoin = t_pref.join(s_matched, key_col, "inner").observe(
                 obs_matched,
-                F.sum(F.when(F.col("m_action") == "drop", 1).otherwise(0)).alias("dropped"),
-                F.sum(F.when(F.col("m_action") == "keep", 1).otherwise(0)).alias("kept_as_is"),
+                F.sum(
+                    F.when((F.col("m_action") == "drop") & applies, 1).otherwise(0)
+                ).alias("dropped"),
+                F.sum(
+                    F.when((F.col("m_action") == "keep") | ~applies, 1).otherwise(0)
+                ).alias("kept_as_is"),
             )
-            resolved = mjoin.filter(F.col("m_action") != "drop").select(
+            take_target = (F.col("m_action") == "keep") | ~applies
+            resolved = mjoin.filter(
+                ~((F.col("m_action") == "drop") & applies)
+            ).select(
                 *[
                     F.col(key_col)
                     if c == key_col
-                    else F.when(F.col("m_action") == "keep", F.col(f"_t_{c}"))
+                    else F.when(take_target, F.col(f"_t_{c}"))
                     .otherwise(
                         F.col(f"m_val.{c}").cast(schema[c].dataType)
-                        if c in {f.name for f in payload_struct.fields}
+                        if c in struct_fields
                         else F.lit(None).cast(schema[c].dataType)
                     )
                     .alias(c)
                     for c in payload
-                ]
+                ],
+                F.when(take_target, F.col("_t_ver")).otherwise(F.col(_VER)).alias(_VER),
             )
             # Keys never seen in the target: the semi scan below reads ONLY
             # the key column of the affected-bucket files (column pruning)
@@ -450,12 +500,12 @@ class LakeTable:
             new_rows = (
                 net.join(matched_keys, key_col, "left_anti")
                 .filter(F.col("u_action") == "set")
-                .select(*from_struct("u_val"))
+                .select(*from_struct("u_val"), F.col(_VER))
             )
 
             obs = Observation("merge")
             marker = (
-                self._conform(kept, schema)
+                self._conform(kept, phys)
                 .withColumn("_from", F.lit("kept"))
                 .unionByName(resolved.withColumn("_from", F.lit("resolved")))
                 .unionByName(new_rows.withColumn("_from", F.lit("new")))
@@ -531,6 +581,13 @@ class LakeTable:
 
 def _bucket_parallelism(df: DataFrame, spark: SparkSession) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _physical(schema: T.StructType) -> T.StructType:
+    """User schema + internal per-row version column."""
+    if any(f.name == _VER for f in schema.fields):
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(_VER, _VER_TYPE, True)])
 
 
 def _safe_obs(obs: Observation, defaults: dict) -> dict:

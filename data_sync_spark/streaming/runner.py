@@ -1,0 +1,128 @@
+"""Structured Streaming wrapper: change-feed tail → foreachBatch MERGE.
+
+The reference's sync_mq strategy (Kafka consumer group → channel → one
+handler goroutine, ``/root/reference/src/application/strategy/syncmq/
+sync_mq.go:74-94``) becomes: ``readStream`` over the change feed →
+``foreachBatch(apply_batch)``. The batch core is the SAME function the
+backfill job uses — mirroring how the reference routes sync_direct rows
+through the identical ``handleInsertSql`` path
+(``mysql_handler.go:590``).
+
+Delivery semantics: the file-source checkpoint gives at-least-once epoch
+replay; ``LakeTable.merge`` records the epoch id in the snapshot and skips
+replayed ids → end-to-end exactly-once. A Kafka deployment swaps
+``file_change_feed`` for ``spark.readStream.format("kafka")`` +
+``from_json`` (reference wire format ``src/infrastructure/repo/format/``) —
+nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.lake import LakeTable
+from data_sync_spark.metrics import MetricsSink, partition_lineage
+from data_sync_spark.pipeline import net_changes
+from data_sync_spark.schema import EVENT_SCHEMA
+
+
+def file_change_feed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Deterministic in-sandbox change-feed source: ordered parquet chunks
+    consumed one per micro-batch (Kafka-partition analog: reference consumes
+    with OffsetOldest, ``mq_consumer.go:103``)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
+def apply_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: PipelineConfig,
+    app_id: str = "stream",
+    sink: MetricsSink | None = None,
+    extra_summary: dict | None = None,
+) -> dict:
+    """The shared batch core (streaming + backfill): pipeline → net effect →
+    idempotent MERGE → lineage emit."""
+    t0 = time.monotonic()
+    batch_df = batch_df.persist()
+    try:
+        lineage = partition_lineage(batch_df)
+        events_in = sum(p["events"] for p in lineage)
+        net = net_changes(batch_df, cfg, table.schema)
+        result = table.merge(
+            net,
+            app_id=app_id,
+            batch_id=batch_id,
+            auto_evolve=cfg.evolve_schema,
+            extra_summary={"events_in": events_in, **(extra_summary or {})},
+        )
+        record = {
+            "app_id": app_id,
+            "batch_id": batch_id,
+            "events_in": events_in,
+            "elapsed_sec": round(time.monotonic() - t0, 3),
+            "partitions": lineage,
+            **result.as_dict(),
+        }
+        if sink is not None:
+            sink.emit(record)
+        return record
+    finally:
+        batch_df.unpersist()
+
+
+def run_stream(
+    spark: SparkSession,
+    feed_path: str,
+    table: LakeTable,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    app_id: str = "stream",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    event_schema: T.StructType = EVENT_SCHEMA,
+    fail_after_batches: int | None = None,
+):
+    """Run the streaming ingest. ``available_now=True`` drains the feed and
+    stops (bounded replay, the bench/test mode); False tails forever.
+
+    ``fail_after_batches`` injects a crash after N merges (post-commit,
+    pre-checkpoint) for the crash/resume tests — the canonical worst case
+    for exactly-once.
+    """
+    sink = MetricsSink(table.path)
+    seen = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(table, batch_df, batch_id, cfg, app_id=app_id, sink=sink)
+        seen["n"] += 1
+        if fail_after_batches is not None and seen["n"] >= fail_after_batches:
+            raise RuntimeError(f"injected crash after {seen['n']} batches")
+
+    feed = file_change_feed(
+        spark, feed_path, schema=event_schema, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = (
+        feed.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query

@@ -125,3 +125,27 @@ def test_exactly_once_batch_id_skip(spark, tmp_path):
     assert not r2.committed
     assert table.current()["version"] == v
     check_vs_oracle(spark, table, events, cfg)
+
+
+def test_cross_batch_out_of_order_replay(spark, tmp_path):
+    """A later micro-batch carrying OLDER (log_offset, seq) changes for a key
+    (overlap replay after resume) must not clobber the newer applied row —
+    the per-row _ver guard."""
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    def one(off, tokens, op="update"):
+        return {"op": op, "doc_id": "doc-a", "log_offset": off, "seq": 0,
+                "tokens": tokens, "n_tok": len(tokens), "source": "web"}
+
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    b0 = spark.createDataFrame(pd.DataFrame([one(1, [1], "insert"), one(5, [5])]), schema=EVENT_SCHEMA)
+    table.merge(net_changes(b0, cfg, table.schema), app_id="a", batch_id=0)
+    # replayed overlap: older offset arrives in a later batch
+    b1 = spark.createDataFrame(pd.DataFrame([one(3, [3])]), schema=EVENT_SCHEMA)
+    table.merge(net_changes(b1, cfg, table.schema), app_id="a", batch_id=1)
+    actual = table.read().toPandas()
+    assert [int(x) for x in actual["tokens"].iloc[0]] == [5]
+    # and the version column records the applied change
+    ver = table.read(include_internal=True).toPandas()["_ver"].iloc[0]
+    assert ver["off"] == 5
