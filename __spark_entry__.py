@@ -1,38 +1,488 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end replay (full engine: pipeline
+→ net-effect dedup → COW MERGE into a LakeTable) on sf0.001 and returns the
+final table state. ``queries()`` exposes each implemented operator from
+SURVEY.md §2 over the shared testdata tables; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. The change feed for the CDC-family queries is
+derived from the ``events`` table with expressions that evaluate identically
+in Spark SQL and DuckDB (see ``CHANGES_SQL``).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# Portable derivation of a binlog-style change feed from the events table.
+# Same text runs under Spark SQL and DuckDB: op mix 60/30/10, doc_id keyed
+# off user_id, log_offset = event_id (unique, monotonic), deterministic
+# token text via arithmetic.
+CHANGES_SQL = """
+SELECT
+  CASE WHEN event_id % 10 < 6 THEN 'insert'
+       WHEN event_id % 10 < 9 THEN 'update'
+       ELSE 'delete' END                                   AS op,
+  'doc-' || lpad(CAST(user_id % 1000 AS STRING), 6, '0')  AS doc_id,
+  CAST(event_id AS BIGINT)                                 AS log_offset,
+  CAST(event_id % 5 AS INT)                                AS seq,
+  event_type                                               AS source,
+  CAST((event_id % 64) + 1 AS INT)                         AS n_tok
+FROM events
+"""
+
+# token text column (arrays are compared as joined strings; exact arrays are
+# covered by pytest):  Spark sequence(1,n) == DuckDB range(1,n+1)
+TOKENS_SPARK = (
+    "array_join(transform(sequence(1, n_tok), "
+    "x -> CAST((log_offset * 31 + x * 7) % 997 AS STRING)), ',')"
+)
+TOKENS_DUCK = (
+    "array_to_string(list_transform(range(1, n_tok + 1), "
+    "x -> CAST((log_offset * 31 + x * 7) % 997 AS STRING)), ',')"
+)
+
+
+def _register(spark: SparkSession, sf_dir: str, names=("events", "documents", "embeddings")):
+    for n in names:
+        spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, names=("events",))
+    return spark.sql(CHANGES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship end-to-end replay through the real engine
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full-engine replay on sf0.001: derived change feed → filter/route
+    pipeline → net-effect collapse → 4 chunked COW MERGEs into a LakeTable →
+    final state (with the applied-version lineage column)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    changes = _changes(spark, SF_DEFAULT).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-entry-")
+    try:
+        table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA, n_buckets=16)
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+        for b in range(4):
+            batch = changes.filter(
+                (F.col("log_offset") >= b * step) & (F.col("log_offset") < (b + 1) * step)
+            )
+            table.merge(
+                net_changes(batch, cfg, table.schema),
+                app_id="entry",
+                batch_id=b,
+                mor=True,  # upsert-mode config → O(net) merge-on-read
+            )
+        out = table.read().withColumn("tokens", F.array_join(F.col("tokens").cast("array<string>"), ","))
+        # materialize before the temp dir is removed
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# queries: one per operator — each runs the REAL operator implementation
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup + delete filter = final upsert-mode state (O4 MERGE net
+    result; dedup operator lww_collapse)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.operators.dedup import lww_collapse
+
+    ch = _changes(spark, sf_dir).withColumn("tokens_str", F.expr(TOKENS_SPARK))
+    win = lww_collapse(ch)
+    return win.filter(F.col("op") != "delete").select(
+        "doc_id", "log_offset", "seq", "source", "n_tok", "tokens_str"
+    )
+
+
+def _q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window/row_number LWW variant (the spec implementation)."""
+    from data_sync_spark.operators.dedup import lww_collapse_window
+
+    ch = _changes(spark, sf_dir)
+    return lww_collapse_window(ch).select("doc_id", "op", "log_offset", "seq", "n_tok")
+
+
+def _q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted LWW (explicit hot-key skew path)."""
+    from data_sync_spark.operators.dedup import lww_collapse_salted
+
+    ch = _changes(spark, sf_dir)
+    return lww_collapse_salted(ch, n_salts=16).select(
+        "doc_id", "op", "log_offset", "seq", "n_tok"
+    )
+
+
+def _q_cdc_net_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """net_effect branch encoding (upsert mode): matched/unmatched actions."""
+    from data_sync_spark.operators.dedup import net_effect
+
+    ch = _changes(spark, sf_dir)
+    net = net_effect(ch, payload_cols=["doc_id", "source", "n_tok"], all_upsert=True)
+    return net.select("doc_id", "log_offset", "seq", "m_action", "u_action")
+
+
+def _q_cdc_append_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """net_effect general path (append-mode sequence composition): final
+    state from an empty table = unmatched-branch outcomes."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.operators.dedup import net_effect
+
+    ch = _changes(spark, sf_dir).withColumn("_upsert", F.lit(False))
+    net = net_effect(ch, payload_cols=["doc_id", "source", "n_tok"], all_upsert=False)
+    return net.filter(F.col("u_action") == "set").select(
+        "doc_id",
+        F.col("u_val.source").alias("source"),
+        F.col("u_val.n_tok").alias("n_tok"),
+    )
+
+
+def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 route predicate: PART + include + exclude → default deny rest."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.operators.route import route_filter
+
+    ch = _changes(spark, sf_dir)
+    out = route_filter(ch, "PART", include=["click", "view"], exclude=["error"])
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_route_exclude_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: only-exclude-given → keep the rest."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.operators.route import route_filter
+
+    ch = _changes(spark, sf_dir)
+    out = route_filter(ch, "PART", include=[], exclude=["error"])
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_column_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 column filter: per-source null-out, key/meta protected."""
+    from data_sync_spark.operators.columns import column_filter
+
+    ch = _changes(spark, sf_dir)
+    out = column_filter(ch, {"click": ["n_tok"], "error": ["source"]})
+    return out.select("doc_id", "log_offset", "source", "n_tok")
+
+
+def _q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 max-key scan: high watermark per route."""
+    from pyspark.sql import functions as F
+
+    ch = _changes(spark, sf_dir)
+    return ch.groupBy("source").agg(
+        F.max("log_offset").alias("max_offset"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 keyed range scan: (lo, hi] predicate pushdown."""
+    from pyspark.sql import functions as F
+
+    ch = _changes(spark, sf_dir)
+    return ch.filter((F.col("log_offset") > 2000) & (F.col("log_offset") <= 4000)).select(
+        "doc_id", "op", "log_offset", "source", "n_tok"
+    )
+
+
+def _q_inspect_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 inspect: source vs (simulated lagging) target max comparison."""
+    from pyspark.sql import functions as F
+
+    ch = _changes(spark, sf_dir)
+    src = ch.groupBy("source").agg(F.max("log_offset").alias("src_max"))
+    tgt = (
+        ch.filter(F.col("log_offset") <= 8000)
+        .groupBy("source")
+        .agg(F.max("log_offset").alias("tgt_max"))
+    )
+    j = src.join(tgt, "source", "left")
+    return j.select(
+        "source",
+        "src_max",
+        "tgt_max",
+        F.when(F.col("tgt_max").isNull(), F.lit("fail"))
+        .when(F.col("src_max") > F.col("tgt_max"), F.lit("lagging"))
+        .when(F.col("src_max") == F.col("tgt_max"), F.lit("ok"))
+        .otherwise(F.lit("fail"))
+        .alias("verdict"),
+    )
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents by content hash (md5 → groupBy)."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (portable length/replace arithmetic)."""
+    _register(spark, sf_dir, names=("documents",))
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured
+        FROM documents
+        """
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: word count, mean word length, stopword ratio."""
+    _register(spark, sf_dir, names=("documents",))
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS words,
+                 length(replace(text, ' ', '')) AS letters,
+                 (length(' ' || text || ' ') -
+                  length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS the_cnt,
+                 (length(' ' || text || ' ') -
+                  length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS a_cnt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(words AS BIGINT) AS words,
+               CAST(round(CAST(letters AS DOUBLE) / words, 4) AS DOUBLE) AS mean_word_len,
+               CAST(round(CAST(the_cnt + a_cnt AS DOUBLE) / words, 4) AS DOUBLE) AS stopword_ratio
+        FROM t
+        """
+    )
+
+
+def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embedding column
+    (the ANN baseline; JVM-side aggregate/zip_with, no UDF)."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir, names=("embeddings",))
+    e = spark.table("embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), qv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    n1 = F.expr(
+        "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))"
+    )
+    n2 = F.expr("sqrt(aggregate(qv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))")
+    scored = j.select(
+        "vec_id", "label", F.round(dot / (n1 * n2), 4).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_final_state": _q_cdc_final_state,
+    "cdc_lww_window": _q_cdc_lww_window,
+    "cdc_lww_salted": _q_cdc_lww_salted,
+    "cdc_net_actions": _q_cdc_net_actions,
+    "cdc_append_state": _q_cdc_append_state,
+    "route_include": _q_route_include,
+    "route_exclude_only": _q_route_exclude_only,
+    "column_filter": _q_column_filter,
+    "watermark": _q_watermark,
+    "range_scan": _q_range_scan,
+    "inspect_lag": _q_inspect_lag,
+    "doc_exact_dedup": _q_doc_exact_dedup,
+    "doc_token_count": _q_doc_token_count,
+    "doc_quality": _q_doc_quality,
+    "emb_topk_cosine": _q_emb_topk_cosine,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+_CH = f"WITH changes AS ({CHANGES_SQL})"
+
+ORACLES: dict[str, str] = {
+    "cdc_final_state": f"""
+        {_CH}
+        SELECT doc_id, log_offset, seq, source, n_tok, {TOKENS_DUCK} AS tokens_str
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+          AND op <> 'delete'
+    """,
+    "cdc_lww_window": f"""
+        {_CH}
+        SELECT doc_id, op, log_offset, seq, n_tok FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+    """,
+    "cdc_lww_salted": f"""
+        {_CH}
+        SELECT doc_id, op, log_offset, seq, n_tok FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+    """,
+    "cdc_net_actions": f"""
+        {_CH}
+        SELECT doc_id, log_offset, seq,
+               CASE WHEN op = 'delete' THEN 'drop' ELSE 'set' END AS m_action,
+               CASE WHEN op = 'delete' THEN 'none' ELSE 'set' END AS u_action
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+    """,
+    "cdc_append_state": f"""
+        {_CH},
+        ld AS (
+          SELECT doc_id,
+                 coalesce(max(log_offset) FILTER (WHERE op = 'delete'), -1) AS ld
+          FROM changes GROUP BY doc_id
+        ),
+        post AS (
+          SELECT c.* FROM changes c JOIN ld USING (doc_id)
+          WHERE c.log_offset > ld.ld
+        ),
+        agg AS (
+          SELECT doc_id,
+                 min(log_offset) FILTER (WHERE op = 'insert') AS fi,
+                 arg_min(source, log_offset) FILTER (WHERE op = 'insert') AS fi_source,
+                 arg_min(n_tok, log_offset) FILTER (WHERE op = 'insert') AS fi_ntok,
+                 max(log_offset) FILTER (WHERE op = 'update') AS lu,
+                 arg_max(source, log_offset) FILTER (WHERE op = 'update') AS lu_source,
+                 arg_max(n_tok, log_offset) FILTER (WHERE op = 'update') AS lu_ntok
+          FROM post GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN lu IS NOT NULL AND lu > fi THEN lu_source ELSE fi_source END AS source,
+               CASE WHEN lu IS NOT NULL AND lu > fi THEN lu_ntok ELSE fi_ntok END AS n_tok
+        FROM agg WHERE fi IS NOT NULL
+    """,
+    "route_include": f"""
+        {_CH}
+        SELECT source, count(*) AS n_events FROM changes
+        WHERE source IN ('click', 'view')
+        GROUP BY source
+    """,
+    "route_exclude_only": f"""
+        {_CH}
+        SELECT source, count(*) AS n_events FROM changes
+        WHERE source <> 'error'
+        GROUP BY source
+    """,
+    "column_filter": f"""
+        {_CH}
+        SELECT doc_id, log_offset,
+               CASE WHEN source = 'error' THEN NULL ELSE source END AS source,
+               CASE WHEN source = 'click' THEN NULL ELSE n_tok END AS n_tok
+        FROM changes
+    """,
+    "watermark": f"""
+        {_CH}
+        SELECT source, max(log_offset) AS max_offset, count(*) AS n_events
+        FROM changes GROUP BY source
+    """,
+    "range_scan": f"""
+        {_CH}
+        SELECT doc_id, op, log_offset, source, n_tok FROM changes
+        WHERE log_offset > 2000 AND log_offset <= 4000
+    """,
+    "inspect_lag": f"""
+        {_CH},
+        src AS (SELECT source, max(log_offset) AS src_max FROM changes GROUP BY source),
+        tgt AS (SELECT source, max(log_offset) AS tgt_max FROM changes
+                WHERE log_offset <= 8000 GROUP BY source)
+        SELECT s.source, s.src_max, t.tgt_max,
+               CASE WHEN t.tgt_max IS NULL THEN 'fail'
+                    WHEN s.src_max > t.tgt_max THEN 'lagging'
+                    WHEN s.src_max = t.tgt_max THEN 'ok'
+                    ELSE 'fail' END AS verdict
+        FROM src s LEFT JOIN tgt t ON s.source = t.source
+    """,
+    "doc_exact_dedup": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "doc_token_count": """
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                 AS n_ws_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured
+        FROM documents
+    """,
+    "doc_quality": """
+        WITH t AS (
+          SELECT doc_id,
+                 length(text) - length(replace(text, ' ', '')) + 1 AS words,
+                 length(replace(text, ' ', '')) AS letters,
+                 (length(' ' || text || ' ') -
+                  length(replace(' ' || text || ' ', ' the ', ' '))) / 4 AS the_cnt,
+                 (length(' ' || text || ' ') -
+                  length(replace(' ' || text || ' ', ' a ', ' '))) / 2 AS a_cnt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(words AS BIGINT) AS words,
+               CAST(round(CAST(letters AS DOUBLE) / words, 4) AS DOUBLE) AS mean_word_len,
+               CAST(round(CAST(the_cnt + a_cnt AS DOUBLE) / words, 4) AS DOUBLE) AS stopword_ratio
+        FROM t
+    """,
+    "emb_topk_cosine": """
+        SELECT e.vec_id, e.label,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

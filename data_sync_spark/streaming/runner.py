@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 from data_sync_spark.config import PipelineConfig
 from data_sync_spark.lake import LakeTable
 from data_sync_spark.metrics import MetricsSink, partition_lineage
-from data_sync_spark.pipeline import net_changes
+from data_sync_spark.pipeline import all_upsert, net_changes
 from data_sync_spark.schema import EVENT_SCHEMA
 
 
@@ -59,31 +59,32 @@ def apply_batch(
     """The shared batch core (streaming + backfill): pipeline → net effect →
     idempotent MERGE → lineage emit."""
     t0 = time.monotonic()
-    batch_df = batch_df.persist()
-    try:
-        lineage = partition_lineage(batch_df)
-        events_in = sum(p["events"] for p in lineage)
-        net = net_changes(batch_df, cfg, table.schema)
-        result = table.merge(
-            net,
-            app_id=app_id,
-            batch_id=batch_id,
-            auto_evolve=cfg.evolve_schema,
-            extra_summary={"events_in": events_in, **(extra_summary or {})},
-        )
-        record = {
-            "app_id": app_id,
-            "batch_id": batch_id,
-            "events_in": events_in,
-            "elapsed_sec": round(time.monotonic() - t0, 3),
-            "partitions": lineage,
-            **result.as_dict(),
-        }
-        if sink is not None:
-            sink.emit(record)
-        return record
-    finally:
-        batch_df.unpersist()
+    # no persist: the batch source (parquet chunk / generator range) is
+    # cheaper to recompute than to cache, and the MOR merge is single-pass
+    lineage = partition_lineage(batch_df)
+    events_in = sum(p["events"] for p in lineage)
+    net = net_changes(batch_df, cfg, table.schema)
+    result = table.merge(
+        net,
+        app_id=app_id,
+        batch_id=batch_id,
+        auto_evolve=cfg.evolve_schema,
+        # upsert-only configs take the O(net) merge-on-read path;
+        # append-mode needs the matched/unmatched COW join
+        mor=all_upsert(cfg),
+        extra_summary={"events_in": events_in, **(extra_summary or {})},
+    )
+    record = {
+        "app_id": app_id,
+        "batch_id": batch_id,
+        "events_in": events_in,
+        "elapsed_sec": round(time.monotonic() - t0, 3),
+        "partitions": lineage,
+        **result.as_dict(),
+    }
+    if sink is not None:
+        sink.emit(record)
+    return record
 
 
 def run_stream(

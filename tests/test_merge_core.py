@@ -17,6 +17,8 @@ from tests.conftest import assert_state_equal
 
 def run_batches(spark, tmp_path, events_df, cfg, n_batches=1, n_buckets=8):
     """Split the feed into n_batches by offset range and merge sequentially."""
+    from data_sync_spark.pipeline import all_upsert
+
     table = LakeTable.create(
         spark, str(tmp_path / "target"), TARGET_SCHEMA, n_buckets=n_buckets
     )
@@ -28,7 +30,7 @@ def run_batches(spark, tmp_path, events_df, cfg, n_batches=1, n_buckets=8):
             (events_df.log_offset >= lo) & (events_df.log_offset < hi)
         )
         net = net_changes(batch, cfg, table.schema)
-        table.merge(net, app_id="test", batch_id=b)
+        table.merge(net, app_id="test", batch_id=b, mor=all_upsert(cfg))
     return table
 
 
