@@ -293,6 +293,71 @@ def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=6, 2-gram shingles) — textops.dedup operator."""
+    from data_sync_spark.textops.dedup import minhash_signatures
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    return minhash_signatures(d, k=6, shingle_n=2)
+
+
+def _q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup candidate pairs (k=8, 4 bands)."""
+    from data_sync_spark.textops.dedup import minhash_lsh_pairs
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    return minhash_lsh_pairs(d, k=8, bands=4, shingle_n=2, min_est_jaccard=0.25)
+
+
+def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) signatures — textops.dedup operator."""
+    from data_sync_spark.textops.dedup import simhash
+
+    _register(spark, sf_dir, names=("documents",))
+    return simhash(spark.table("documents"), bits=16)
+
+
+def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID — textops.analysis operator."""
+    from data_sync_spark.textops.analysis import language_id
+
+    _register(spark, sf_dir, names=("documents",))
+    return language_id(spark.table("documents"))
+
+
+def _q_doc_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token estimate + whitespace tokens — textops.analysis."""
+    from data_sync_spark.textops.analysis import token_counts
+
+    _register(spark, sf_dir, names=("documents",))
+    return token_counts(spark.table("documents"))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + word-level polynomial rolling hash — textops.analysis."""
+    from data_sync_spark.textops.analysis import fingerprint
+
+    _register(spark, sf_dir, names=("documents",))
+    return fingerprint(spark.table("documents"))
+
+
+def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket candidates + exact rerank
+    (the ANN scale path) — textops.similarity operator."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.similarity import lsh_bucketed_topk
+
+    _register(spark, sf_dir, names=("embeddings",))
+    e = spark.table("embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_bucketed_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, bits=6, tables=2
+    )
+
+
 def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding column
     (the ANN baseline; JVM-side aggregate/zip_with, no UDF)."""
@@ -333,7 +398,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup": _q_doc_exact_dedup,
     "doc_token_count": _q_doc_token_count,
     "doc_quality": _q_doc_quality,
+    "doc_minhash_sig": _q_doc_minhash_sig,
+    "doc_lsh_pairs": _q_doc_lsh_pairs,
+    "doc_simhash": _q_doc_simhash,
+    "doc_lang_id": _q_doc_lang_id,
+    "doc_token_regex": _q_doc_token_regex,
+    "doc_fingerprint": _q_doc_fingerprint,
     "emb_topk_cosine": _q_emb_topk_cosine,
+    "emb_lsh_topk": _q_emb_lsh_topk,
 }
 
 
@@ -482,6 +554,203 @@ ORACLES: dict[str, str] = {
         LIMIT 10
     """,
 }
+
+
+# --- programmatically built oracles for the textops family ---------------
+
+
+def _dh(expr: str) -> str:
+    """DuckDB twin of the portable 32-bit hash H(s) = int(md5(s)[:8], 16)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_DUCK_SHINGLES2 = """
+  sh AS (
+    SELECT doc_id, text,
+           CASE WHEN len(string_split(text, ' ')) < 2 THEN [text]
+                ELSE list_transform(range(1, len(string_split(text, ' '))),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))
+           END AS s
+    FROM documents
+  )
+"""
+
+
+def _duck_minhash_cols(k: int) -> str:
+    cols = []
+    for i in range(k):
+        h = _dh(f"concat('mh{i}:', x)")
+        cols.append(f"       list_min(list_transform(s, x -> {h})) AS mh_{i}")
+    return ",\n".join(cols)
+
+
+def _duck_minhash_sql(k: int) -> str:
+    return f"WITH{_DUCK_SHINGLES2}\nSELECT doc_id,\n{_duck_minhash_cols(k)}\nFROM sh"
+
+
+def _duck_lsh_pairs_sql(k: int = 8, bands: int = 4, min_est: float = 0.25) -> str:
+    rows = k // bands
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{i}" for i in range(b * rows, (b + 1) * rows))
+        band_selects.append(
+            f"SELECT doc_id, sig, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM mh"
+        )
+    banded = "\n  UNION ALL ".join(band_selects)
+    eq_terms = " + ".join(
+        f"(CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    sig_list = ", ".join(f"mh_{i}" for i in range(k))
+    return f"""
+WITH{_DUCK_SHINGLES2},
+mh0 AS (SELECT doc_id,
+{_duck_minhash_cols(k)}
+FROM sh),
+mh AS (SELECT doc_id, [{sig_list}] AS sig, * FROM mh0),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(({eq_terms}) / {k} AS DOUBLE) AS est_jaccard
+FROM pairs WHERE ({eq_terms}) / {k} >= {min_est}
+"""
+
+
+def _duck_simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h & {1 << j}) > 0 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    total = " + ".join(terms)
+    return f"""
+WITH wh AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> {_dh('w')}) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM wh
+"""
+
+
+def _count_word_sql(word: str) -> str:
+    pad = "(' ' || text || ' ')"
+    needle = f"' {word} '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, {needle}, ' '))) / {len(word) + 1} AS BIGINT)"
+    )
+
+
+def _duck_lang_id_sql() -> str:
+    from data_sync_spark.textops.analysis import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        total = " + ".join(_count_word_sql(w) for w in LANG_STOPWORDS[lang])
+        score_cols.append(f"({total}) AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)}, {pred} AS predicted_lang
+FROM s
+"""
+
+
+_DUCK_TOKEN_REGEX_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+         AS n_regex_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+_DUCK_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(text) AS md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ' '), w -> {_dh('w')})),
+         (a, b) -> (a * 31 + b) % 1000000007) AS poly_fingerprint
+FROM documents
+"""
+
+
+def _duck_plane(seed: int, b: int) -> str:
+    """Hyperplane component for dimension d (1-indexed list access)."""
+    h = _dh(f"concat('{seed}:{b}:', d)")
+    return f"list_transform(range(0, 64), d -> (({h}) % 2001 - 1000) / 1000.0)"
+
+
+def _duck_dot(vec: str, plane: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> CAST({vec}[i] AS DOUBLE) * ({plane})[i])), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def _duck_lsh_topk_sql(k: int = 10, bits: int = 6, tables: int = 2) -> str:
+    def sig_expr(vec: str) -> str:
+        table_sigs = []
+        for t in range(tables):
+            terms = []
+            for b in range(bits):
+                dot = _duck_dot(vec, _duck_plane(7 + t, b))
+                terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+            table_sigs.append(" + ".join(terms))
+        return table_sigs
+
+    e_sigs = sig_expr("v")
+    q_sigs = sig_expr("qv")
+    sig_cols = ", ".join(f"({s}) AS sig_{t}" for t, s in enumerate(e_sigs))
+    qsig_cols = ", ".join(f"({s}) AS qsig_{t}" for t, s in enumerate(q_sigs))
+    match = " OR ".join(f"e.sig_{t} = q.qsig_{t}" for t in range(tables))
+    dot = _duck_dot("v", "qv")
+    norm_v = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(v, x -> CAST(x AS DOUBLE) * x)), (a, b) -> a + b))"
+    )
+    norm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(qv, x -> CAST(x AS DOUBLE) * x)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, {sig_cols}
+  FROM embeddings WHERE vec_id <> 0
+),
+qs AS (SELECT qv, {qsig_cols} FROM q),
+cand AS (
+  SELECT e.vec_id, e.v, q.qv FROM e, qs q WHERE {match}
+)
+SELECT vec_id, round({dot} / ({norm_v} * {norm_q}), 4) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+ORACLES.update(
+    {
+        "doc_minhash_sig": _duck_minhash_sql(6),
+        "doc_lsh_pairs": _duck_lsh_pairs_sql(k=8, bands=4, min_est=0.25),
+        "doc_simhash": _duck_simhash_sql(bits=16),
+        "doc_lang_id": _duck_lang_id_sql(),
+        "doc_token_regex": _DUCK_TOKEN_REGEX_SQL,
+        "doc_fingerprint": _DUCK_FINGERPRINT_SQL,
+        "emb_lsh_topk": _duck_lsh_topk_sql(k=10, bits=6, tables=2),
+    }
+)
 
 
 def oracle_sql() -> dict[str, str]:

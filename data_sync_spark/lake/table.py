@@ -306,13 +306,13 @@ class LakeTable:
         rel_dir = os.path.join("data", f"{tag}{version:08d}")
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        # Range-partition + in-partition sort on the bucket id: each task
-        # holds a contiguous bucket range and the dynamic-partition writer
-        # streams one file at a time (no per-task writer fan-out, no AQE
-        # coalescing surprises) → ~1 file per bucket, measured ~3x faster
-        # than hash repartition + partitionBy.
+        # Hash-partition on the bucket id (NOT repartitionByRange — range
+        # partitioning samples its child, which would execute the expensive
+        # upstream net aggregation twice per batch) + in-partition sort so
+        # the dynamic-partition writer streams one file at a time instead of
+        # fanning out a writer per directory.
         (
-            df.repartitionByRange(shuffle, F.col(_BUCKET))
+            df.repartition(shuffle, F.col(_BUCKET))
             .sortWithinPartitions(_BUCKET)
             .write.partitionBy(_BUCKET)
             .mode("overwrite")

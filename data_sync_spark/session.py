@@ -49,11 +49,23 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic session timezone for reproducible fixtures.
         "spark.sql.session.timeZone": "UTC",
-        # Keep parquet splits reasonable for the sf0.1 local runs.
-        "spark.sql.files.maxPartitionBytes": "128m",
+        # Small split size so local scans of modest feeds still fan out to
+        # every core (default 128m bin-packs a ~500MB feed into ~5 scan
+        # tasks). On a real cluster with TB-scale inputs the default is
+        # fine; here parallelism is the scarcer resource.
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.openCostInBytes": "1m",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }
+    # Shuffle/spill through tmpfs when available: the sandbox's /tmp sits on
+    # a virtual disk whose bandwidth serializes multi-core shuffles; a real
+    # cluster shuffles through local NVMe. RAM-backed local dirs are the
+    # honest local analog.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        conf["spark.local.dir"] = os.environ.get("SPARK_GRAFT_LOCAL_DIR", shm)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force exact top-k: one pass, JVM-side
+  ``aggregate``/``zip_with`` dot products against a broadcast query vector.
+  The baseline, and the right answer when k·|corpus| work is acceptable.
+* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH buckets
+  (hyperplanes derived deterministically from ``xxhash64``, no RNG state),
+  candidates = vectors sharing the query's bucket in ≥1 table, exact rerank
+  within candidates. At 100 TB the bucket join prunes the corpus scan to
+  ~|corpus| / 2^bits per table; buckets are uniformly distributed (hash
+  signs), so no skew handling is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cos(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = df.withColumn("_q", q).withColumn(
+        "cos_sim", F.round(_cos(vec_col, "_q"), 4)
+    )
+    return (
+        out.select(id_col, "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7):
+    """Random-hyperplane signature as a single integer column.
+
+    Hyperplane h_{b,d} = (H(seed:b:d) % 2001 - 1000) / 1000 where H is the
+    portable md5-based 32-bit hash — deterministic, reproducible on any
+    executor (and in the DuckDB oracle) with no shared RNG state.
+    Bit b = 1 iff v · h_b > 0.
+    """
+    terms = []
+    for b in range(bits):
+        dot = F.expr(
+            f"""
+            aggregate(
+              zip_with({vec_col},
+                       transform(sequence(0, size({vec_col}) - 1),
+                                 d -> (pmod(CAST(conv(substr(md5(concat('{seed}:{b}:', d)), 1, 8), 16, 10) AS BIGINT), 2001) - 1000) / 1000.0),
+                       (x, y) -> CAST(x AS DOUBLE) * y),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+            """
+        )
+        terms.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return sig.cast("int")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket in
+    at least one of ``tables`` independent LSH tables; exact cosine rerank
+    on the candidate set."""
+    q = [float(x) for x in query_vec]
+    with_sigs = df
+    sig_cols = []
+    for t in range(tables):
+        c = f"_sig_{t}"
+        with_sigs = with_sigs.withColumn(
+            c, hyperplane_sig_expr(vec_col, bits, seed=7 + t)
+        )
+        sig_cols.append(c)
+    # query signatures computed driver-side through the same expression on a
+    # one-row frame (cheap, keeps the hash definition single-sourced)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,)], f"{vec_col}: array<double>")
+    for t in range(tables):
+        qdf = qdf.withColumn(f"_sig_{t}", hyperplane_sig_expr(vec_col, bits, seed=7 + t))
+    qsig = qdf.collect()[0]
+    cond = None
+    for t in range(tables):
+        c = F.col(f"_sig_{t}") == int(qsig[f"_sig_{t}"])
+        cond = c if cond is None else cond | c
+    candidates = with_sigs.filter(cond)
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,153 @@
+"""Training-data pipeline operators: dedup family, similarity, analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_sync_spark.textops.analysis import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+from data_sync_spark.textops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from data_sync_spark.textops.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    resize_stub,
+    synthetic_media,
+)
+from data_sync_spark.textops.similarity import cosine_topk, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "a completely different sentence about spark engines"),
+        (4, "der hund und die katze sind nicht da ist ein zu"),
+        (5, "le chat et la maison est un une les des belle"),
+        (6, "spark engines process completely different data every day"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    dups = [r for r in out if r["n_copies"] > 1]
+    assert len(dups) == 1 and dups[0]["keeper"] == 0 and dups[0]["n_copies"] == 2
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sig = minhash_signatures(docs, k=8).toPandas().set_index("doc_id")
+    assert list(sig.loc[0]) == list(sig.loc[1])
+    # near-dup shares most minhashes; unrelated docs share few
+    same_near = sum(sig.loc[0][i] == sig.loc[2][i] for i in range(8))
+    same_far = sum(sig.loc[0][i] == sig.loc[3][i] for i in range(8))
+    assert same_near > same_far
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, k=16, bands=8, min_est_jaccard=0.3).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found  # exact dup always collides
+    assert not any({3, 4} == {a, b} for a, b in found)
+
+
+def test_simhash_and_near_pairs(spark, docs):
+    sh = simhash(docs).toPandas().set_index("doc_id")
+    assert sh.loc[0, "simhash"] == sh.loc[1, "simhash"]
+    pairs = simhash_near_pairs(docs, max_hamming=6, blocks=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found
+    assert all(h <= 6 for h in pairs.hamming)
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    cand = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (0, 2), (0, 3)], columns=["id_a", "id_b"])
+    )
+    out = ngram_jaccard_pairs(cand, docs, shingle_n=2).toPandas().set_index("id_b")
+    assert out.loc[1, "jaccard"] == 1.0
+    assert 0.3 < out.loc[2, "jaccard"] < 1.0
+    assert out.loc[3, "jaccard"] == 0.0
+
+
+def test_cosine_topk_and_lsh_agree_on_top1(spark):
+    import math
+
+    # deterministic synthetic embeddings: cluster 0 around e1, cluster 1 around e2
+    rows = []
+    for i in range(200):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [round(b + ((i * 37 + d * 11) % 100) / 1000.0, 4) for d, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = [1.0, 0.05, 0.05, 0.05]
+    exact = cosine_topk(df, q, k=5).toPandas()
+    assert len(exact) == 5
+    assert all(v % 2 == 0 for v in exact.vec_id)  # cluster-0 members win
+    approx = lsh_bucketed_topk(df, q, k=5, bits=4, tables=4).toPandas()
+    assert len(approx) >= 1
+    # top-1 recall: LSH must find the exact best match
+    assert approx.cos_sim.iloc[0] == exact.cos_sim.iloc[0]
+
+
+def test_language_id(spark, docs):
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "predicted_lang"] == "en"
+    assert out.loc[4, "predicted_lang"] == "de"
+    assert out.loc[5, "predicted_lang"] == "fr"
+
+
+def test_token_counts_and_quality(spark, docs):
+    tc = token_counts(docs).toPandas().set_index("doc_id")
+    assert tc.loc[0, "n_ws_tokens"] == 9
+    q = quality_scores(docs).toPandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == 9
+    assert 0 < q.loc[0, "stopword_ratio"] <= 1
+    assert q.loc[0, "distinct_word_ratio"] == round(8 / 9, 4)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+            columns=["doc_id", "text"],
+        )
+    )
+    fp = fingerprint(df).toPandas().set_index("doc_id")
+    assert fp.loc[0, "poly_fingerprint"] == fp.loc[2, "poly_fingerprint"]
+    assert fp.loc[0, "poly_fingerprint"] != fp.loc[1, "poly_fingerprint"]
+    assert fp.loc[0, "md5"] == fp.loc[2, "md5"]
+
+
+def test_multimodal_pipeline(spark):
+    media = synthetic_media(spark, n=48)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 48
+    assert feats.decode_ok.all()
+    assert all(len(f) == 8 for f in feats.feature)
+    # deterministic: same payload → same feature
+    again = extract_features(synthetic_media(spark, n=48)).toPandas()
+    assert list(feats.sort_values("media_id").feature.map(tuple)) == list(
+        again.sort_values("media_id").feature.map(tuple)
+    )
+    resized = resize_stub(media, 32, 32).toPandas()
+    assert (resized.width == 32).all()
+    frames = frame_sample_stub(media, every_ms=500).toPandas()
+    videos = media.filter(F.col("kind") == "video").count()
+    assert frames.media_id.nunique() == videos
+    assert (frames.frame_ms % 500 == 0).all()
