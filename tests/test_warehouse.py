@@ -1,0 +1,53 @@
+"""Multi-table routing (S4 SHOW TABLES / D1 intersect / F8 existence guard)."""
+
+from __future__ import annotations
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.generator import change_feed
+from data_sync_spark.oracle import replay_to_pandas
+from data_sync_spark.warehouse import Warehouse, apply_batch_multi, inspect_all
+from tests.conftest import assert_state_equal
+
+TARGET_COLS = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_multi_table_routing_and_guard(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_table("web")
+    wh.create_table("books")
+    # code/wiki tables do NOT exist → their events are dropped (F8)
+    events = change_feed(spark, 3_000, n_keys=200, seed=61)
+    rec = apply_batch_multi(wh, events, 0, PipelineConfig())
+    assert set(rec["tables"]) == {"web", "books"}
+    assert set(rec["skipped_sources"]) == {"code", "wiki"}
+    assert wh.list_tables() == ["books", "web"]
+
+    pdf = events.toPandas()
+    for src in ("web", "books"):
+        expected = replay_to_pandas(
+            pdf[pdf.source == src], PipelineConfig(), target_cols=TARGET_COLS
+        )
+        assert_state_equal(wh.table(src).read().toPandas(), expected, msg=src)
+
+
+def test_auto_create_and_intersect_inspect(spark, tmp_path):
+    src_wh = Warehouse(spark, str(tmp_path / "src"))
+    tgt_wh = Warehouse(spark, str(tmp_path / "tgt"))
+    events = change_feed(spark, 2_000, n_keys=150, seed=67)
+    cfg = PipelineConfig()
+    apply_batch_multi(src_wh, events, 0, cfg, auto_create=True)
+    # target gets only the first half → lagging
+    half = events.filter(events.log_offset < 1_000)
+    apply_batch_multi(tgt_wh, half, 0, cfg, auto_create=True)
+
+    assert src_wh.intersect_tables(tgt_wh) == sorted(src_wh.list_tables())
+    report = inspect_all(src_wh, tgt_wh)
+    assert set(report) == set(src_wh.list_tables())
+    assert all(v["verdict"] in ("lagging", "ok") for v in report.values())
+    assert any(v["verdict"] == "lagging" for v in report.values())
+
+    # catch the target up → all ok
+    rest = events.filter(events.log_offset >= 1_000)
+    apply_batch_multi(tgt_wh, rest, 1, cfg, auto_create=True)
+    report2 = inspect_all(src_wh, tgt_wh)
+    assert all(v["verdict"] == "ok" for v in report2.values()), report2
