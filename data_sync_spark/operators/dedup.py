@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_sync_spark.schema import KEY_COL, META_COLS
+from data_sync_spark.schema import KEY_COL
 
 
 def _value_cols(df: DataFrame, key_col: str, order_cols: tuple[str, str]) -> list[str]:
