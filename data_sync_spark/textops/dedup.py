@@ -96,7 +96,9 @@ def minhash_lsh_pairs(
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
     mh_cols = [f"mh_{i}" for i in range(k)]
-    sig = sig.withColumn("_sig", F.array(*[F.col(c) for c in mh_cols]))
+    # persist: the banded union + self-join would otherwise recompute the
+    # signature scan (k md5s per shingle) once per band per join side
+    sig = sig.withColumn("_sig", F.array(*[F.col(c) for c in mh_cols])).persist()
     # band hash = H over the concatenated band slice
     band_rows = []
     for b in range(bands):
@@ -170,7 +172,7 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: block the signature into ``blocks`` chunks
     (pigeonhole: pairs within ``max_hamming ≤ blocks - 1`` share ≥1 exact
     block), join on (block_id, block_value), verify Hamming distance."""
-    sig = simhash(df, text_col, id_col, bits=bits)
+    sig = simhash(df, text_col, id_col, bits=bits).persist()
     width = bits // blocks
     parts = []
     for b in range(blocks):

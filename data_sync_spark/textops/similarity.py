@@ -50,25 +50,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7):
+def _plane(seed: int, b: int, d: int) -> float:
+    """Hyperplane component h_{b,d} = (H(seed:b:d) % 2001 - 1000) / 1000,
+    H = int(md5[:8], 16) — the same portable hash the DuckDB oracle and any
+    executor can recompute; evaluated driver-side so the plane rides into
+    the plan as a literal array instead of 64×bits md5 calls per row."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7, dims: int = 64):
     """Random-hyperplane signature as a single integer column.
 
-    Hyperplane h_{b,d} = (H(seed:b:d) % 2001 - 1000) / 1000 where H is the
-    portable md5-based 32-bit hash — deterministic, reproducible on any
-    executor (and in the DuckDB oracle) with no shared RNG state.
-    Bit b = 1 iff v · h_b > 0.
-    """
+    Deterministic planes (see :func:`_plane`), no RNG state. Bit b = 1 iff
+    v · h_b > 0; the dot product is a JVM-side left fold, bitwise identical
+    to the oracle's."""
     terms = []
     for b in range(bits):
-        dot = F.expr(
-            f"""
-            aggregate(
-              zip_with({vec_col},
-                       transform(sequence(0, size({vec_col}) - 1),
-                                 d -> (pmod(CAST(conv(substr(md5(concat('{seed}:{b}:', d)), 1, 8), 16, 10) AS BIGINT), 2001) - 1000) / 1000.0),
-                       (x, y) -> CAST(x AS DOUBLE) * y),
-              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-            """
+        plane = F.array(*[F.lit(_plane(seed, b, d)) for d in range(dims)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), plane, lambda x, y: x * y
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
         )
         terms.append(F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0)))
     sig = terms[0]
@@ -95,19 +102,24 @@ def lsh_bucketed_topk(
     for t in range(tables):
         c = f"_sig_{t}"
         with_sigs = with_sigs.withColumn(
-            c, hyperplane_sig_expr(vec_col, bits, seed=7 + t)
+            c, hyperplane_sig_expr(vec_col, bits, seed=7 + t, dims=len(q))
         )
         sig_cols.append(c)
-    # query signatures computed driver-side through the same expression on a
-    # one-row frame (cheap, keeps the hash definition single-sourced)
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(q,)], f"{vec_col}: array<double>")
-    for t in range(tables):
-        qdf = qdf.withColumn(f"_sig_{t}", hyperplane_sig_expr(vec_col, bits, seed=7 + t))
-    qsig = qdf.collect()[0]
+    # query signatures: same plane definition, computed directly in Python
+    # (sequential double fold — identical arithmetic to the column expr)
+    def qsig(seed: int) -> int:
+        s = 0
+        for b in range(bits):
+            acc = 0.0
+            for d, x in enumerate(q):
+                acc += x * _plane(seed, b, d)
+            if acc > 0:
+                s += 1 << b
+        return s
+
     cond = None
     for t in range(tables):
-        c = F.col(f"_sig_{t}") == int(qsig[f"_sig_{t}"])
+        c = F.col(f"_sig_{t}") == qsig(7 + t)
         cond = c if cond is None else cond | c
     candidates = with_sigs.filter(cond)
     return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
