@@ -140,6 +140,18 @@ def cmd_verify(args) -> int:
     return 0 if report.ok else 1
 
 
+def cmd_maintain(args) -> int:
+    """Table maintenance: compact dirty buckets + expire old snapshots."""
+    from data_sync_spark.lake import LakeTable
+
+    spark = _spark(args)
+    table = LakeTable.load(spark, args.table)
+    compacted = table.compact()
+    expired = table.expire_snapshots(keep_last=args.keep_snapshots)
+    print(json.dumps({"compacted_buckets": compacted, **expired}))
+    return 0
+
+
 def cmd_show(args) -> int:
     from data_sync_spark.lake import LakeTable
     from data_sync_spark.metrics import MetricsSink
@@ -197,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--config", default=None)
     v.set_defaults(fn=cmd_verify)
+
+    m = sub.add_parser("maintain", help="compact dirty buckets + expire snapshots")
+    m.add_argument("--table", required=True)
+    m.add_argument("--keep-snapshots", type=int, default=2)
+    m.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("show", help="table state / history / metrics")
     s.add_argument("--table", required=True)

@@ -138,6 +138,7 @@ class LakeTable:
             raise FileExistsError(f"table already exists at {path}")
         table._write_manifest(
             {
+                "format": 2,
                 "version": 0,
                 "parent": None,
                 "schema": schema.jsonValue(),
@@ -170,7 +171,13 @@ class LakeTable:
         with open(latest) as f:
             version = int(f.read().strip())
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            manifest = json.load(f)
+        if manifest.get("format", 1) != 2:
+            raise RuntimeError(
+                f"table at {self.path} uses manifest format "
+                f"{manifest.get('format', 1)}; this build reads format 2"
+            )
+        return manifest
 
     def _write_manifest(self, manifest: dict) -> int:
         """Write manifest ``version`` atomically and swing the pointer.
@@ -576,6 +583,49 @@ class LakeTable:
             summary={"operation": "compact", "buckets": dirty},
         )
         return dirty
+
+    # ----------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop manifests older than the
+        last ``keep_last`` versions and physically delete data files no kept
+        snapshot references. Bounds storage for a forever-running stream
+        (each MOR merge adds delta files; compaction supersedes base files —
+        without expiry a 10^10-event replay accumulates every generation)."""
+        import shutil
+
+        current = self.current()
+        keep_from = max(0, current["version"] - keep_last + 1)
+        mdir = os.path.join(self.path, _MANIFEST_DIR)
+        kept_refs: set[str] = set()
+        removed_manifests = 0
+        for entry in sorted(os.listdir(mdir)):
+            if not entry.startswith("v"):
+                continue
+            version = int(entry[1:].split(".")[0])
+            mpath = os.path.join(mdir, entry)
+            if version >= keep_from:
+                with open(mpath) as f:
+                    m = json.load(f)
+                for e in m["files"].values():
+                    kept_refs.update(e.get("base", []))
+                    kept_refs.update(e.get("delta", []))
+            else:
+                os.unlink(mpath)
+                removed_manifests += 1
+        data_dir = os.path.join(self.path, "data")
+        removed_files = 0
+        if os.path.isdir(data_dir):
+            for gen in sorted(os.listdir(data_dir)):
+                gen_dir = os.path.join(data_dir, gen)
+                rel_gen = os.path.join("data", gen)
+                if not any(r.startswith(rel_gen + os.sep) for r in kept_refs):
+                    removed_files += sum(len(fs) for _, _, fs in os.walk(gen_dir))
+                    shutil.rmtree(gen_dir)
+        return {
+            "kept_from_version": keep_from,
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files,
+        }
 
     # ------------------------------------------------------- merge: COW path
     def _merge_cow(

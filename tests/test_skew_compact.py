@@ -93,3 +93,34 @@ def test_explicit_compact_all(spark, tmp_path):
     files = table.current()["files"]
     assert all(not e["delta"] for e in files.values())
     assert_state_equal(table.read().toPandas(), before)
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Expired snapshots drop old manifests + unreferenced data files;
+    current state unchanged; storage shrinks after compaction."""
+    import os
+
+    cfg = PipelineConfig()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2, compact_threshold=3
+    )
+    for b in range(5):
+        ev = change_feed(spark, 400, n_keys=50, seed=47, start_offset=b * 400)
+        table.merge(net_changes(ev, cfg, table.schema), app_id="t", batch_id=b, mor=True)
+    before = table.read().toPandas()
+
+    def count_parquet(root):
+        return sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(os.path.join(root, "data"))
+        )
+
+    n_before = count_parquet(table.path)
+    result = table.expire_snapshots(keep_last=1)
+    assert result["removed_manifests"] > 0
+    assert count_parquet(table.path) < n_before
+    assert_state_equal(table.read().toPandas(), before)
+    # replayed-batch idempotence still intact after expiry
+    ev = change_feed(spark, 400, n_keys=50, seed=47, start_offset=1600)
+    r = table.merge(net_changes(ev, cfg, table.schema), app_id="t", batch_id=4, mor=True)
+    assert not r.committed
