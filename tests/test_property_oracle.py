@@ -1,0 +1,98 @@
+"""Property-based correctness: random event sequences, random configs,
+random batch splits — engine final state must always equal the serial
+dict-replay oracle. (SURVEY.md §5 test plan: property-based layer.)"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.lake import LakeTable
+from data_sync_spark.oracle import replay_to_pandas
+from data_sync_spark.pipeline import all_upsert, net_changes
+from data_sync_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+from tests.conftest import assert_state_equal
+
+KEYS = [f"k{i}" for i in range(6)]
+SOURCES = ["web", "books"]
+
+event_st = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["insert", "update", "delete"]),
+        "key": st.sampled_from(KEYS),
+        "seq": st.integers(0, 2),
+        "tokens": st.lists(st.integers(0, 99), min_size=0, max_size=4),
+        "src": st.sampled_from(SOURCES),
+    }
+)
+
+config_st = st.fixed_dictionaries(
+    {
+        "default_upsert": st.booleans(),
+        "upsert_web": st.booleans(),
+        "mode": st.sampled_from(["ALL", "PART"]),
+        "include": st.sampled_from([[], ["web"], ["web", "books"]]),
+        "exclude": st.sampled_from([[], ["books"]]),
+    }
+)
+
+
+def to_events_pdf(raw: list[dict]) -> pd.DataFrame:
+    rows = []
+    # source must be stable per key (engine + oracle contract)
+    key_src = {}
+    for off, e in enumerate(raw):
+        src = key_src.setdefault(e["key"], e["src"])
+        delete = e["op"] == "delete"
+        rows.append(
+            {
+                "op": e["op"],
+                "doc_id": e["key"],
+                "log_offset": off,
+                "seq": e["seq"],
+                "tokens": None if delete else e["tokens"],
+                "n_tok": None if delete else len(e["tokens"]),
+                "source": src,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(event_st, min_size=1, max_size=30),
+    cfg_raw=config_st,
+    n_batches=st.integers(1, 3),
+)
+def test_random_replay_equals_oracle(spark, tmp_path_factory, raw, cfg_raw, n_batches):
+    cfg = PipelineConfig(
+        data_mode=cfg_raw["mode"],
+        include_sources=cfg_raw["include"],
+        exclude_sources=cfg_raw["exclude"],
+        default_upsert=cfg_raw["default_upsert"],
+        upsert={"web": cfg_raw["upsert_web"]},
+    )
+    pdf = to_events_pdf(raw)
+    events = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+
+    tmp = tmp_path_factory.mktemp("prop")
+    table = LakeTable.create(spark, str(tmp / "t"), TARGET_SCHEMA, n_buckets=4)
+    per = (len(pdf) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        batch = events.filter(
+            (events.log_offset >= b * per) & (events.log_offset < (b + 1) * per)
+        )
+        table.merge(
+            net_changes(batch, cfg, table.schema),
+            app_id="p",
+            batch_id=b,
+            mor=all_upsert(cfg),
+        )
+    expected = replay_to_pandas(pdf, cfg, target_cols=["doc_id", "tokens", "n_tok", "source"])
+    assert_state_equal(table.read().toPandas(), expected)
