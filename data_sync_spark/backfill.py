@@ -92,6 +92,51 @@ def backfill(
     return records
 
 
+def sync_table_direct(
+    spark: SparkSession,
+    source: LakeTable,
+    target: LakeTable,
+    cfg: PipelineConfig,
+    app_id: str = "direct",
+    chunk_offsets: int = 1_000_000,
+    max_chunks: int | None = None,
+) -> list[dict]:
+    """Table-to-table catch-up — the literal sync_direct analog: range-scan
+    the SOURCE TABLE above the target's high-watermark and re-insert the
+    rows through the same pipeline (reference ``syncTableDirect``,
+    ``/root/reference/src/application/mysql_handler.go:545-604``; rows are
+    re-issued as inserts via ``BuildDirectInsert``,
+    ``mysql_format_service.go:91-111``).
+
+    The watermark is the source row version ``_ver.off`` (the reference uses
+    the integer pk; our key is a string, but every row carries its applied
+    change offset — a better monotonic cursor). Rows are re-emitted as
+    insert events at their original ``(log_offset, seq)`` so the target's
+    cross-batch LWW guard also makes overlapping re-syncs harmless.
+    """
+    rows = source.read(include_internal=True)
+    events = rows.select(
+        F.lit("insert").alias("op"),
+        F.col(source.key_col).alias("doc_id"),
+        F.col("_ver.off").alias("log_offset"),
+        F.col("_ver.seq").alias("seq"),
+        *[
+            F.col(f.name)
+            for f in source.schema.fields
+            if f.name != source.key_col
+        ],
+    )
+    return backfill(
+        spark,
+        events,
+        target,
+        cfg,
+        app_id=app_id,
+        chunk_offsets=chunk_offsets,
+        max_chunks=max_chunks,
+    )
+
+
 def _stamp_watermark(table: LakeTable, app_id: str, wm: int) -> None:
     manifest = table.current()
     if manifest["summary"].get(WATERMARK_KEY) == wm:

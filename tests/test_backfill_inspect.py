@@ -66,3 +66,36 @@ def test_failure_escalator():
     assert esc.observe(False)  # third consecutive → alarm
     assert not esc.observe(True)  # reset
     assert esc.failed == 0
+
+
+def test_sync_table_direct(spark, tmp_path):
+    """sync_direct analog: source table → target table catch-up by row
+    version watermark; incremental re-sync picks up only new rows."""
+    from data_sync_spark.backfill import sync_table_direct
+    from data_sync_spark.inspector import inspect
+    from data_sync_spark.pipeline import net_changes
+
+    cfg = PipelineConfig()
+    src = LakeTable.create(spark, str(tmp_path / "src"), TARGET_SCHEMA, n_buckets=4)
+    ev1 = change_feed(spark, 1_500, n_keys=120, seed=53)
+    src.merge(net_changes(ev1, cfg, src.schema), app_id="s", batch_id=0, mor=True)
+
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), TARGET_SCHEMA, n_buckets=4)
+    recs = sync_table_direct(spark, src, tgt, cfg, chunk_offsets=500)
+    assert len(recs) >= 2  # chunked
+    report = inspect(tgt, expected=src.read())
+    assert report.ok, report.as_dict()
+
+    # source advances → incremental catch-up syncs only the delta
+    ev2 = change_feed(spark, 800, n_keys=120, seed=53, start_offset=1_500)
+    src.merge(net_changes(ev2, cfg, src.schema), app_id="s", batch_id=1, mor=True)
+    recs2 = sync_table_direct(spark, src, tgt, cfg, chunk_offsets=10_000)
+    assert recs2  # something above the watermark
+    # note: deletes don't propagate through direct re-insert (the reference
+    # has the same limitation — sync_direct only re-inserts); compare the
+    # surviving keys' row images instead of full equality
+    src_pdf = src.read().toPandas().set_index("doc_id")
+    tgt_pdf = tgt.read().toPandas().set_index("doc_id")
+    for k in src_pdf.index:
+        assert k in tgt_pdf.index
+        assert list(src_pdf.loc[k, "tokens"]) == list(tgt_pdf.loc[k, "tokens"])
