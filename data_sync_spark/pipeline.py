@@ -42,7 +42,12 @@ def prepare_events(
     """Route → column-filter → custom transform → schema-conform.
 
     Returns the filtered event stream (still multi-event per key)."""
-    df = route_filter(events, cfg.data_mode, cfg.include_sources, cfg.exclude_sources)
+    # malformed events (no key / unknown op) are dropped — the reference
+    # retries 3× then skips poisoned events (mysql_handler.go:107-119)
+    df = events.filter(
+        F.col("doc_id").isNotNull() & F.col("op").isin("insert", "update", "delete")
+    )
+    df = route_filter(df, cfg.data_mode, cfg.include_sources, cfg.exclude_sources)
     df = column_filter(df, cfg.filter_cols)
     df = get_transform(cfg.transform)(df)
     df = schema_conform(df, target_schema, evolve=cfg.evolve_schema)

@@ -1,0 +1,76 @@
+"""Integration soak: one run combining everything — 100k events, streaming
+in chunks, crash mid-stream, schema evolution mid-stream, compaction,
+maintenance, final full-equality audit vs the serial oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.generator import change_feed, write_feed_chunks
+from data_sync_spark.inspector import inspect
+from data_sync_spark.lake import LakeTable
+from data_sync_spark.oracle import replay_to_pandas
+from data_sync_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+from data_sync_spark.streaming.runner import run_stream
+from tests.conftest import assert_state_equal
+
+
+@pytest.mark.slow
+def test_soak_end_to_end(spark, tmp_path):
+    n, k = 100_000, 60_000  # evolution at offset 60k
+    cfg = PipelineConfig(
+        data_mode="PART",
+        include_sources=["web", "books", "code"],
+        exclude_sources=["wiki"],
+        filter_cols={"code": ["n_tok"]},
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=16, compact_threshold=4
+    )
+
+    # phase 1 (v1 schema), crash injected after 3 batches, then resume
+    feed1 = str(tmp_path / "f1")
+    write_feed_chunks(spark, feed1, k, chunk_size=10_000, n_keys=3_000, seed=97)
+    q = run_stream(spark, feed1, table, cfg, str(tmp_path / "c1"), app_id="s1",
+                   fail_after_batches=3)
+    with pytest.raises(Exception):
+        q.awaitTermination(600)
+    q2 = run_stream(spark, feed1, table, cfg, str(tmp_path / "c1"), app_id="s1")
+    q2.awaitTermination(600)
+
+    # phase 2: upstream adds extra_quality (v2 schema)
+    feed2 = str(tmp_path / "f2")
+    write_feed_chunks(
+        spark, feed2, n - k, chunk_size=10_000, base_offset=k,
+        n_keys=3_000, seed=97, extra_from=k,
+    )
+    schema2 = T.StructType(
+        EVENT_SCHEMA.fields + [T.StructField("extra_quality", T.DoubleType(), True)]
+    )
+    q3 = run_stream(spark, feed2, table, cfg, str(tmp_path / "c2"), app_id="s2",
+                    event_schema=schema2)
+    q3.awaitTermination(600)
+
+    # maintenance mid-life
+    table.compact()
+    table.expire_snapshots(keep_last=2)
+
+    # audit: full equality vs the serial oracle over the complete feed
+    full = change_feed(spark, n, n_keys=3_000, seed=97, extra_from=k).toPandas()
+    expected = replay_to_pandas(
+        full, cfg, target_cols=["doc_id", "tokens", "n_tok", "source", "extra_quality"]
+    )
+    actual = table.read().toPandas()
+    assert_state_equal(actual, expected)
+
+    expected_df = spark.createDataFrame(expected, schema=table.schema)
+    report = inspect(table, expected=expected_df)
+    assert report.ok, report.as_dict()
+    # filtered column stayed null for its source; evolution column populated
+    code_rows = actual[actual.source == "code"]
+    if len(code_rows):
+        assert code_rows["n_tok"].isna().all()
+    assert actual["extra_quality"].notna().any()
+    assert "wiki" not in set(actual["source"])
