@@ -358,6 +358,33 @@ def _q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard for consecutive-id doc pairs (the
+    verification stage after LSH candidates) — textops.dedup operator."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(d.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    out = ngram_jaccard_pairs(pairs, d, shingle_n=2)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets +
+    exact cosine verification — textops.similarity operator."""
+    from data_sync_spark.textops.similarity import embedding_near_pairs
+
+    _register(spark, sf_dir, names=("embeddings",))
+    return embedding_near_pairs(
+        spark.table("embeddings"), threshold=0.8, bits=4, tables=2, dims=64
+    )
+
+
 def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding column
     (the ANN baseline; JVM-side aggregate/zip_with, no UDF)."""
@@ -404,8 +431,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": _q_doc_lang_id,
     "doc_token_regex": _q_doc_token_regex,
     "doc_fingerprint": _q_doc_fingerprint,
+    "doc_ngram_jaccard": _q_doc_ngram_jaccard,
     "emb_topk_cosine": _q_emb_topk_cosine,
     "emb_lsh_topk": _q_emb_lsh_topk,
+    "emb_near_pairs": _q_emb_near_pairs,
 }
 
 
@@ -740,8 +769,64 @@ LIMIT {k}
 """
 
 
+_DUCK_NGRAM_JACCARD_SQL = f"""
+WITH{_DUCK_SHINGLES2},
+sets AS (SELECT doc_id, list_distinct(s) AS st FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.st AS sa, b.st AS sb
+  FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+       round(
+         CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE) /
+         (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))),
+         4) AS jaccard
+FROM pairs
+"""
+
+
+def _duck_near_pairs_sql(threshold: float = 0.8, bits: int = 4, tables: int = 2) -> str:
+    sig_cols = []
+    for t in range(tables):
+        terms = []
+        for b in range(bits):
+            dot = _duck_dot("v", _duck_plane(7 + t, b))
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        sig_cols.append("(" + " + ".join(terms) + f") AS sig_{t}")
+    blocked = "\n  UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, sig_{t} AS sig FROM e" for t in range(tables)
+    )
+    dot_ab = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), i -> va[i] * vb[i])), (a, b) -> a + b)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform({v}, x -> x * x)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         {', '.join(sig_cols)}
+  FROM embeddings
+),
+blocked AS ({blocked}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM blocked a JOIN blocked b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round({dot_ab} / ({norm.format(v='va')} * {norm.format(v='vb')}), 4) AS cos_sim
+FROM cand
+WHERE round({dot_ab} / ({norm.format(v='va')} * {norm.format(v='vb')}), 4) >= {threshold}
+"""
+
+
 ORACLES.update(
     {
+        "doc_ngram_jaccard": _DUCK_NGRAM_JACCARD_SQL,
+        "emb_near_pairs": _duck_near_pairs_sql(threshold=0.8, bits=4, tables=2),
         "doc_minhash_sig": _duck_minhash_sql(6),
         "doc_lsh_pairs": _duck_lsh_pairs_sql(k=8, bands=4, min_est=0.25),
         "doc_simhash": _duck_simhash_sql(bits=16),

@@ -84,6 +84,59 @@ def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7, dims: int = 64):
     return sig.cast("int")
 
 
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a hyperplane
+    bucket in ≥1 LSH table (self-join on (table, signature) — uniform hash
+    buckets, no skew), verified by exact cosine ≥ threshold.
+
+    At 100 TB the candidate join touches ~|corpus|²/2^bits per table instead
+    of |corpus|²; raise ``bits`` with corpus size to hold the bucket
+    population constant."""
+    sigs = df
+    for t in range(tables):
+        sigs = sigs.withColumn(
+            f"_sig_{t}", hyperplane_sig_expr(vec_col, bits, seed=7 + t, dims=dims)
+        )
+    sigs = sigs.persist()
+    parts = []
+    for t in range(tables):
+        parts.append(
+            sigs.select(
+                F.col(id_col), F.col(vec_col), F.lit(t).alias("tbl"),
+                F.col(f"_sig_{t}").alias("sig"),
+            )
+        )
+    blocked = parts[0]
+    for p in parts[1:]:
+        blocked = blocked.unionByName(p)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn("cos_sim", F.round(_cos("va", "vb"), 4))
+    return out.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -151,3 +151,19 @@ def test_multimodal_pipeline(spark):
     videos = media.filter(F.col("kind") == "video").count()
     assert frames.media_id.nunique() == videos
     assert (frames.frame_ms % 500 == 0).all()
+
+
+def test_embedding_near_pairs(spark):
+    from data_sync_spark.textops.similarity import embedding_near_pairs
+
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [round(b + ((i * 13 + d * 7) % 50) / 1000.0, 4) for d, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = embedding_near_pairs(df, threshold=0.99, bits=3, tables=3, dims=4).toPandas()
+    assert len(pairs) > 0
+    # same-cluster pairs only at this threshold
+    assert all((a % 2) == (b % 2) for a, b in zip(pairs.id_a, pairs.id_b))
+    assert (pairs.cos_sim >= 0.99).all()
