@@ -8,12 +8,13 @@ at ``:563``; checkpoint write ``:596``; high-watermark skip ``:510-519``).
 
 Spark version: read the change log above the watermark, process it in
 offset-range chunks through the SAME batch core as streaming
-(``apply_batch``), committing the watermark into the table manifest
-atomically with each MERGE (the reference's checkpoint file is a separate
-non-atomic write — ours can't diverge from the data commit). Chunks are
-orders of magnitude larger than 100: set-oriented MERGE removes the
-reference's per-row bottleneck; the chunking exists only to bound per-batch
-memory and to make progress restartable, exactly like the reference.
+(``apply_batch``), committing the watermark inside the MERGE's own manifest
+commit (the reference's checkpoint file is a separate non-atomic write —
+ours can't diverge from the data). The watermark lives in the table's
+per-app state, which every commit carries forward, so snapshot expiry can't
+lose it. Chunk boundaries skip ahead to the next real offset (min-offset
+probe, a column-pruned scan) so sparse offset spaces — e.g. binlog-position
+encodings with ~2⁴⁰ gaps between files — don't spin through empty ranges.
 """
 
 from __future__ import annotations
@@ -30,12 +31,8 @@ WATERMARK_KEY = "backfill_watermark"
 
 
 def get_watermark(table: LakeTable, app_id: str) -> int:
-    """Latest committed watermark for this backfill app (newest-first walk)."""
-    for m in table.history():
-        wm = m.get("summary", {}).get(WATERMARK_KEY)
-        if wm is not None and m["summary"].get("backfill_app") == app_id:
-            return int(wm)
-    return -1
+    wm = table.app_state(app_id).get(WATERMARK_KEY)
+    return -1 if wm is None else int(wm)
 
 
 def backfill(
@@ -65,12 +62,22 @@ def backfill(
     while wm < max_off:
         if max_chunks is not None and chunk_idx >= max_chunks:
             break
-        lo, hi = wm, wm + chunk_offsets
+        # skip-ahead: jump to the next offset that actually exists (one
+        # column-pruned min scan) instead of stepping fixed-width windows
+        # through potentially enormous gaps
+        next_off = (
+            source.filter(F.col("log_offset") > wm)
+            .agg(F.min("log_offset"))
+            .collect()[0][0]
+        )
+        if next_off is None:
+            break
+        lo = next_off - 1
+        hi = lo + chunk_offsets
         chunk = source.filter((F.col("log_offset") > lo) & (F.col("log_offset") <= hi))
         chunk_wm = min(hi, max_off)
-        # the watermark rides in the MERGE's own manifest commit → advances
-        # atomically with the data (the reference's checkpoint is a separate
-        # non-atomic file write, mysql_handler.go:596)
+        # the watermark rides in the MERGE's own manifest commit (per-app
+        # state) → advances atomically with the data
         rec = apply_batch(
             table,
             chunk,
@@ -78,15 +85,15 @@ def backfill(
             cfg,
             app_id=app_id,
             sink=sink,
-            extra_summary={WATERMARK_KEY: chunk_wm, "backfill_app": app_id},
+            app_state={WATERMARK_KEY: chunk_wm},
         )
         if not rec.get("committed"):
             # empty/replayed chunk → metadata-only watermark commit so
             # progress still advances
-            _stamp_watermark(table, app_id, chunk_wm)
+            table.set_app_state(app_id, **{WATERMARK_KEY: chunk_wm})
         rec[WATERMARK_KEY] = chunk_wm
         records.append(rec)
-        wm = hi
+        wm = chunk_wm
         next_batch += 1
         chunk_idx += 1
     return records
@@ -110,9 +117,11 @@ def sync_table_direct(
 
     The watermark is the source row version ``_ver.off`` (the reference uses
     the integer pk; our key is a string, but every row carries its applied
-    change offset — a better monotonic cursor). Rows are re-emitted as
-    insert events at their original ``(log_offset, seq)`` so the target's
-    cross-batch LWW guard also makes overlapping re-syncs harmless.
+    change offset — a better monotonic cursor). ``append()``-loaded rows are
+    stamped ``(0, -1)`` and therefore included by the initial ``> -1`` scan.
+    Rows re-emit as insert events at their original ``(log_offset, seq)`` so
+    the target's cross-batch LWW guard also makes overlapping re-syncs
+    harmless.
     """
     rows = source.read(include_internal=True)
     events = rows.select(
@@ -134,23 +143,4 @@ def sync_table_direct(
         app_id=app_id,
         chunk_offsets=chunk_offsets,
         max_chunks=max_chunks,
-    )
-
-
-def _stamp_watermark(table: LakeTable, app_id: str, wm: int) -> None:
-    manifest = table.current()
-    if manifest["summary"].get(WATERMARK_KEY) == wm:
-        return
-    table._write_manifest(
-        {
-            **manifest,
-            "version": manifest["version"] + 1,
-            "parent": manifest["version"],
-            "summary": {
-                **manifest["summary"],
-                "operation": "backfill-watermark",
-                WATERMARK_KEY: wm,
-                "backfill_app": app_id,
-            },
-        }
     )

@@ -20,9 +20,11 @@ class PipelineConfig:
     exclude_sources: list[str] = field(default_factory=list)
     # per-source payload columns to filter out (key cols never filtered)
     filter_cols: dict[str, list[str]] = field(default_factory=dict)
-    # per-source upsert flag; sources absent here default to upsert=False,
-    # matching the reference (IsUpsert returns false for unknown tables,
-    # regular_base.go:44-49)
+    # per-source upsert flag; sources absent here take `default_upsert`.
+    # NOTE: the reference defaults unknown tables to append mode (IsUpsert
+    # returns false, regular_base.go:44-49); our default is True because the
+    # north-star flagship is the MERGE/upsert path — set
+    # default_upsert=False for reference-faithful insert-only semantics.
     upsert: dict[str, bool] = field(default_factory=dict)
     # applies to sources not listed in `upsert`
     default_upsert: bool = True

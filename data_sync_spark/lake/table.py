@@ -230,9 +230,29 @@ class LakeTable:
 
     def last_batch_id(self, app_id: str) -> int | None:
         app = self.current()["apps"].get(app_id)
-        return None if app is None else int(app["last_batch_id"])
+        if app is None or app.get("last_batch_id") is None:
+            return None
+        return int(app["last_batch_id"])
+
+    def app_state(self, app_id: str) -> dict:
+        """Per-app durable state carried forward through every commit (and
+        thus immune to snapshot expiry): batch ids, watermarks."""
+        return dict(self.current()["apps"].get(app_id, {}))
+
+    def set_app_state(self, app_id: str, **state) -> int:
+        """Metadata-only commit updating an app's durable state."""
+        manifest = self.current()
+        apps = dict(manifest["apps"])
+        apps[app_id] = {**apps.get(app_id, {}), **state}
+        child = self._commit_child(
+            manifest, apps=apps, summary={"operation": "app-state", "app": app_id}
+        )
+        return child["version"]
 
     def history(self) -> list[dict]:
+        """Newest-first snapshot history. Stops at the oldest RETAINED
+        manifest — expire_snapshots truncates history, it must not break
+        readers (Iceberg semantics)."""
         out = []
         m = self.current()
         while m is not None:
@@ -247,7 +267,10 @@ class LakeTable:
             parent = m["parent"]
             if parent is None:
                 break
-            with open(self._manifest_path(parent)) as f:
+            ppath = self._manifest_path(parent)
+            if not os.path.exists(ppath):
+                break  # expired — end of retained history
+            with open(ppath) as f:
                 m = json.load(f)
         return out
 
@@ -260,14 +283,18 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         include_internal: bool = False,
+        include_tombstones: bool = False,
     ) -> DataFrame:
         """Snapshot read with merge-on-read resolution; optional bucket
         pruning and time travel.
 
-        Buckets without delta files stream straight off their base parquet;
-        dirty buckets resolve base+delta via one hash aggregation
-        (``max_by(row, _ver)`` per key, map-side combine → hot-key immune)
-        and tombstones are dropped. ``include_internal`` exposes ``_ver``.
+        Buckets without delta files stream straight off their base parquet
+        (tombstone filter pushed to the scan); dirty buckets resolve
+        base+delta via one hash aggregation (``max_by(row, _ver)`` per key,
+        map-side combine → hot-key immune). Delete tombstones are retained
+        as physical rows (``_op='drop'``) so stale replays can never
+        resurrect a deleted key; readers drop them unless
+        ``include_tombstones``. ``include_internal`` exposes ``_ver``.
         """
         if version is None:
             manifest = self.current()
@@ -275,7 +302,7 @@ class LakeTable:
             with open(self._manifest_path(version)) as f:
                 manifest = json.load(f)
         schema = T.StructType.fromJson(manifest["schema"])
-        phys = _physical(schema)
+        dschema = _delta_schema(schema)
         key_col = manifest.get("key_col", KEY_COL)
 
         clean_base: list[str] = []
@@ -290,19 +317,28 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         if clean_base:
-            parts.append(self.spark.read.schema(phys).parquet(*self._abs(clean_base)))
-        if dirty_files:
-            raw = self.spark.read.schema(_delta_schema(schema)).parquet(
-                *self._abs(dirty_files)
+            # base files may carry retained tombstones (compaction output);
+            # files written before that carry no _op column → null → 'set'
+            parts.append(
+                self.spark.read.schema(dschema).parquet(*self._abs(clean_base))
             )
-            parts.append(_resolve(raw, phys, key_col))
+        if dirty_files:
+            raw = self.spark.read.schema(dschema).parquet(*self._abs(dirty_files))
+            parts.append(_resolve(raw, dschema, key_col))
         if not parts:
-            df = self.spark.createDataFrame([], phys)
+            df = self.spark.createDataFrame([], dschema)
         else:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        return df if include_internal else df.drop(_VER)
+        if not include_tombstones:
+            # IsNull-or-equals pushes down to the clean-branch parquet scan
+            df = df.filter(F.col(_OP).isNull() | (F.col(_OP) == "set")).drop(_OP)
+        else:
+            df = df.withColumn(_OP, F.coalesce(F.col(_OP), F.lit("set")))
+        if not include_internal:
+            df = df.drop(_VER)
+        return df
 
     # ----------------------------------------------------------------- write
     def _write_bucket_files(
@@ -361,6 +397,7 @@ class LakeTable:
             last = manifest["apps"].get(app_id)
             if last is not None and batch_id <= int(last["last_batch_id"]):
                 return -1
+        app_state = None
         schema = T.StructType.fromJson(manifest["schema"])
         version = manifest["version"] + 1
         if "log_offset" in df.columns and "seq" in df.columns:
@@ -369,8 +406,12 @@ class LakeTable:
                 F.col("seq").cast("int").alias("seq"),
             )
         else:
+            # (0, -1): below any real change version (seq ≥ 0) so later
+            # changes win the LWW guard, but NOT below the backfill
+            # watermark origin (-1) — appended rows must remain visible to
+            # sync_table_direct's `offset > watermark` scan
             ver = F.struct(
-                F.lit(-1).cast("long").alias("off"), F.lit(-1).cast("int").alias("seq")
+                F.lit(0).cast("long").alias("off"), F.lit(-1).cast("int").alias("seq")
             )
         out = self._conform(df.withColumn(_VER, ver), _physical(schema)).withColumn(
             _BUCKET, bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL))
@@ -382,7 +423,7 @@ class LakeTable:
             files[b]["base"] = files[b]["base"] + paths
         apps = dict(manifest["apps"])
         if app_id is not None and batch_id is not None:
-            apps[app_id] = {"last_batch_id": batch_id}
+            apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
         self._commit_child(
             manifest, files=files, apps=apps, summary={"operation": "append"}
         )
@@ -417,6 +458,7 @@ class LakeTable:
         auto_evolve: bool = True,
         mor: bool = False,
         extra_summary: dict | None = None,
+        app_state: dict | None = None,
     ) -> MergeResult:
         """Set-oriented MERGE of a net change set into the table.
 
@@ -469,17 +511,17 @@ class LakeTable:
         if mor:
             return self._merge_mor(
                 manifest, net, schema, payload_struct, key_col,
-                app_id, batch_id, evolved, extra_summary,
+                app_id, batch_id, evolved, extra_summary, app_state,
             )
         return self._merge_cow(
             manifest, net, schema, payload_struct, key_col,
-            app_id, batch_id, evolved, extra_summary,
+            app_id, batch_id, evolved, extra_summary, app_state,
         )
 
     # ------------------------------------------------------- merge: MOR path
     def _merge_mor(
         self, manifest, net, schema, payload_struct, key_col,
-        app_id, batch_id, evolved, extra_summary,
+        app_id, batch_id, evolved, extra_summary, app_state=None,
     ) -> MergeResult:
         struct_fields = {f.name for f in payload_struct.fields}
         cols = []
@@ -521,7 +563,7 @@ class LakeTable:
 
         apps = dict(manifest["apps"])
         if batch_id is not None:
-            apps[app_id] = {"last_batch_id": batch_id}
+            apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
         child = self._commit_child(
             manifest,
             schema=schema.jsonValue(),
@@ -555,22 +597,31 @@ class LakeTable:
         )
 
     # --------------------------------------------------------------- compact
-    def compact(self, buckets: list[int] | None = None) -> list[int]:
+    def compact(
+        self, buckets: list[int] | None = None, purge_tombstones: bool = False
+    ) -> list[int]:
         """Rewrite dirty buckets' base files from resolved base+delta state
-        and drop their deltas + tombstones (Iceberg/Hudi compaction)."""
+        and clear their deltas (Iceberg/Hudi compaction).
+
+        Delete tombstones are RETAINED by default so the cross-batch LWW
+        guard survives compaction (a stale replayed insert for a deleted key
+        must keep losing). ``purge_tombstones=True`` physically removes them
+        — only safe once no replay older than the deletes can still arrive
+        (e.g. past the source's retention horizon)."""
         manifest = self.current()
         schema = T.StructType.fromJson(manifest["schema"])
         key_col = manifest.get("key_col", KEY_COL)
         dirty = [
             int(b)
             for b, e in manifest["files"].items()
-            if e.get("delta") and (buckets is None or int(b) in buckets)
+            if (e.get("delta") or (purge_tombstones and e.get("base")))
+            and (buckets is None or int(b) in buckets)
         ]
         if not dirty:
             return []
-        resolved = self.read(buckets=dirty, include_internal=True).withColumn(
-            _BUCKET, bucket_expr(manifest["n_buckets"], key_col)
-        )
+        resolved = self.read(
+            buckets=dirty, include_internal=True, include_tombstones=not purge_tombstones
+        ).withColumn(_BUCKET, bucket_expr(manifest["n_buckets"], key_col))
         version = manifest["version"] + 1
         new_files = self._write_bucket_files(resolved, version, "c")
         files = _copy_files(manifest["files"])
@@ -630,7 +681,7 @@ class LakeTable:
     # ------------------------------------------------------- merge: COW path
     def _merge_cow(
         self, manifest, net, schema, payload_struct, key_col,
-        app_id, batch_id, evolved, extra_summary,
+        app_id, batch_id, evolved, extra_summary, app_state=None,
     ) -> MergeResult:
         net = net.persist()
         try:
@@ -638,18 +689,24 @@ class LakeTable:
             if net_rows == 0:
                 return MergeResult(committed=False, version=None, batch_id=batch_id)
             small = net_rows <= BROADCAST_MAX_ROWS
-            s_matched = net.select(key_col, "m_action", "m_val", _VER)
+            s_matched = net.select(
+                key_col, "m_action", "m_val", "u_action", "u_val", _VER
+            )
             s_keys = net.select(key_col)
             if small:
                 s_matched = F.broadcast(s_matched)
                 s_keys = F.broadcast(s_keys)
 
             affected = sorted(r[0] for r in net.select(_BUCKET).distinct().collect())
-            phys = _physical(schema)
+            phys = _delta_schema(schema)
             # Conform to the (possibly evolved) schema so old files expose
-            # the new columns as nulls.
+            # the new columns as nulls. Tombstones ride along as rows
+            # (_op='drop') so deleted keys keep their version guard.
             target = self._conform(
-                self.read(buckets=affected, include_internal=True), phys
+                self.read(
+                    buckets=affected, include_internal=True, include_tombstones=True
+                ),
+                phys,
             )
 
             payload = [f.name for f in schema.fields]
@@ -671,42 +728,57 @@ class LakeTable:
             # Rows of affected buckets whose key is untouched: carried as-is.
             # (anti join, build side = broadcast change keys)
             kept = target.join(s_keys, key_col, "left_anti")
-            # Keys present in both sides: apply the matched-branch action,
-            # guarded by the cross-batch LWW version comparison — a change
-            # older than the row's applied version is a stale replay and is
-            # ignored (the reference's "binlog幂等" idempotence,
-            # mysql_handler.go:107-119, made explicit).
+            # Keys present in both sides: live target rows take the matched
+            # branch, tombstone rows are semantically ABSENT so they take the
+            # unmatched branch — both guarded by the cross-batch LWW version
+            # comparison: a change older than the row's applied version is a
+            # stale replay and is ignored (the reference's "binlog幂等"
+            # idempotence, mysql_handler.go:107-119, made explicit).
             t_pref = target.select(
                 key_col,
                 *[F.col(c).alias(f"_t_{c}") for c in payload if c != key_col],
                 F.col(_VER).alias("_t_ver"),
+                F.col(_OP).alias("_t_op"),
             )
             applies = F.col("_t_ver").isNull() | (F.col(_VER) > F.col("_t_ver"))
+            live = F.col("_t_op") == "set"
+            becomes_tombstone = live & (F.col("m_action") == "drop") & applies
+            use_m = live & (F.col("m_action") == "set") & applies
+            use_u = ~live & (F.col("u_action") == "set") & applies
+            takes_change = use_m | use_u
             obs_matched = Observation("merge-matched")
             mjoin = t_pref.join(s_matched, key_col, "inner").observe(
                 obs_matched,
+                F.sum(F.when(becomes_tombstone, 1).otherwise(0)).alias("dropped"),
                 F.sum(
-                    F.when((F.col("m_action") == "drop") & applies, 1).otherwise(0)
-                ).alias("dropped"),
-                F.sum(
-                    F.when((F.col("m_action") == "keep") | ~applies, 1).otherwise(0)
+                    F.when(live & ((F.col("m_action") == "keep") | ~applies), 1).otherwise(0)
                 ).alias("kept_as_is"),
             )
-            take_target = (F.col("m_action") == "keep") | ~applies
-            resolved = mjoin.filter(~((F.col("m_action") == "drop") & applies)).select(
+
+            def change_val(c: str):
+                if c not in struct_fields:
+                    return F.lit(None).cast(schema[c].dataType)
+                return F.when(use_m, F.col(f"m_val.{c}")).otherwise(
+                    F.col(f"u_val.{c}")
+                ).cast(schema[c].dataType)
+
+            resolved = mjoin.select(
                 *[
                     F.col(key_col)
                     if c == key_col
-                    else F.when(take_target, F.col(f"_t_{c}"))
-                    .otherwise(
-                        F.col(f"m_val.{c}").cast(schema[c].dataType)
-                        if c in struct_fields
-                        else F.lit(None).cast(schema[c].dataType)
-                    )
+                    else F.when(takes_change, change_val(c))
+                    .when(becomes_tombstone, F.lit(None).cast(schema[c].dataType))
+                    .otherwise(F.col(f"_t_{c}"))
                     .alias(c)
                     for c in payload
                 ],
-                F.when(take_target, F.col("_t_ver")).otherwise(F.col(_VER)).alias(_VER),
+                F.when(takes_change | becomes_tombstone, F.col(_VER))
+                .otherwise(F.col("_t_ver"))
+                .alias(_VER),
+                F.when(becomes_tombstone, F.lit("drop"))
+                .when(takes_change, F.lit("set"))
+                .otherwise(F.col("_t_op"))
+                .alias(_OP),
             )
             # Keys never seen in the target: the semi scan below reads ONLY
             # the key column of the affected-bucket files (column pruning)
@@ -715,11 +787,22 @@ class LakeTable:
             matched_keys = target.join(s_keys, key_col, "left_semi").select(key_col)
             if small:
                 matched_keys = F.broadcast(matched_keys)
-            new_rows = (
-                net.join(matched_keys, key_col, "left_anti")
-                .filter(F.col("u_action") == "set")
-                .select(*from_struct("u_val"), F.col(_VER))
+            unmatched = net.join(matched_keys, key_col, "left_anti")
+            new_rows = unmatched.filter(F.col("u_action") == "set").select(
+                *from_struct("u_val"), F.col(_VER), F.lit("set").alias(_OP)
             )
+            # deletes for never-seen keys leave a tombstone (as the MOR path
+            # does) so a stale replayed insert below their version still loses
+            null_payload = [
+                F.col(key_col)
+                if f.name == key_col
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            new_tombs = unmatched.filter(F.col("m_action") == "drop").select(
+                *null_payload, F.col(_VER), F.lit("drop").alias(_OP)
+            )
+            new_rows = new_rows.unionByName(new_tombs)
 
             obs = Observation("merge")
             marker = (
@@ -757,7 +840,7 @@ class LakeTable:
 
             apps = dict(manifest["apps"])
             if batch_id is not None:
-                apps[app_id] = {"last_batch_id": batch_id}
+                apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
 
             child = self._commit_child(
                 manifest,
@@ -793,22 +876,24 @@ class LakeTable:
             net.unpersist()
 
 
-def _resolve(raw: DataFrame, phys: T.StructType, key_col: str) -> DataFrame:
+def _resolve(raw: DataFrame, dschema: T.StructType, key_col: str) -> DataFrame:
     """Merge-on-read resolution: LWW winner per key by ``_ver`` over
-    base ∪ delta rows, tombstones dropped. Single hash aggregation with
-    map-side partial combine — skew-immune."""
+    base ∪ delta rows. Tombstone winners are RETAINED (callers filter) —
+    dropping them would let a stale replayed change resurrect a deleted key.
+    Single aggregation with map-side partial combine — skew-immune."""
     op = F.coalesce(F.col(_OP), F.lit("set"))
-    val_cols = [f.name for f in phys.fields if f.name not in (key_col, _VER)]
+    val_cols = [f.name for f in dschema.fields if f.name not in (key_col, _VER, _OP)]
     win = raw.groupBy(key_col).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in val_cols], op.alias(_OP)), F.col(_VER)
         ).alias("_w"),
         F.max(F.col(_VER)).alias(_VER),
     )
-    return win.filter(F.col(f"_w.{_OP}") == "set").select(
+    return win.select(
         F.col(key_col),
         *[F.col(f"_w.{c}").alias(c) for c in val_cols],
         F.col(_VER),
+        F.col(f"_w.{_OP}").alias(_OP),
     )
 
 

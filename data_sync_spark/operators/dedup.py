@@ -161,7 +161,9 @@ def net_effect(
     winner_agg = [
         F.max(ord_key).alias("_ord"),
         F.max_by(F.struct(F.col("op").alias("op"), val.alias("v")), ord_key).alias("_w"),
-        F.first(F.col(upsert_col)).alias("_ups"),
+        # winner's flag — deterministic even if (against the contract) a key
+        # mixes sources with different upsert modes
+        F.max_by(F.col(upsert_col), ord_key).alias("_ups"),
         F.max(F.when(is_del, ord_key)).alias("_ld"),
     ]
     a = df.groupBy(key_col).agg(*winner_agg)

@@ -55,6 +55,7 @@ def apply_batch(
     app_id: str = "stream",
     sink: MetricsSink | None = None,
     extra_summary: dict | None = None,
+    app_state: dict | None = None,
 ) -> dict:
     """The shared batch core (streaming + backfill): pipeline → net effect →
     idempotent MERGE → lineage emit."""
@@ -73,6 +74,7 @@ def apply_batch(
         # append-mode needs the matched/unmatched COW join
         mor=all_upsert(cfg),
         extra_summary={"events_in": events_in, **(extra_summary or {})},
+        app_state=app_state,
     )
     record = {
         "app_id": app_id,

@@ -63,9 +63,11 @@ MAXWELL_SCHEMA = T.StructType(
 def position_to_offset(position_col) -> "F.Column":
     """Maxwell ``position`` = ``<binlog file>:<byte offset>`` → a single
     monotonically comparable long: file number * 2^40 + byte offset (binlog
-    files rotate at ~1GB << 2^40)."""
-    file_no = F.regexp_extract(position_col, r"\.(\d+):", 1).cast("long")
-    byte_off = F.regexp_extract(position_col, r":(\d+)$", 1).cast("long")
+    files rotate at ~1GB << 2^40). Non-matching strings (heartbeats, DDL)
+    yield NULL instead of an ANSI cast error — such events are dropped by
+    the op filter anyway."""
+    file_no = F.regexp_extract(position_col, r"\.(\d+):", 1).try_cast("long")
+    byte_off = F.regexp_extract(position_col, r":(\d+)$", 1).try_cast("long")
     return file_no * F.lit(1 << 40) + byte_off
 
 
@@ -96,7 +98,11 @@ def parse_maxwell(
         F.col("_env.type").alias("op"),
         doc_id.alias("doc_id"),
         log_offset.alias("log_offset"),
-        F.coalesce(F.col("_env.xid"), F.lit(0)).cast("int").alias("seq"),
+        # xid is a long that exceeds int32 on long-lived servers; pmod keeps
+        # it an int tiebreak without ANSI cast overflow
+        F.pmod(F.coalesce(F.col("_env.xid"), F.lit(0)), F.lit(1 << 31))
+        .cast("int")
+        .alias("seq"),
         F.when(~is_delete, F.col("_env.data.tokens")).alias("tokens"),
         F.when(~is_delete, F.col("_env.data.n_tok")).alias("n_tok"),
         # route dimension: the Maxwell table name is the reference's routing

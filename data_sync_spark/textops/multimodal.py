@@ -68,12 +68,18 @@ def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | 
     return out
 
 
-def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+def extract_features(df: DataFrame, batch_rows: int | None = None) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas (the F4-style
     escape hatch for logic Catalyst can't express). One Arrow batch in
-    memory per task; batch size tuned down because media rows are fat."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    memory per task. Pass ``batch_rows`` to cap the Arrow batch size for fat
+    media rows — note this sets the SESSION-wide
+    ``arrow.maxRecordsPerBatch`` (Spark has no per-query knob), so it
+    affects later pandas-UDF jobs too; leave None to keep the session
+    setting."""
+    if batch_rows is not None:
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+        )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -28,7 +28,9 @@ def _cos(a: str, b: str):
     nb = F.expr(
         f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v))"
     )
-    return dot / (na * nb)
+    # zero-norm guard: 0/0 is NaN and Spark sorts NaN ABOVE every double, so
+    # an all-zero vector would otherwise rank #1 in top-k and pass >= filters
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
 
 
 def cosine_topk(
@@ -44,7 +46,8 @@ def cosine_topk(
         "cos_sim", F.round(_cos(vec_col, "_q"), 4)
     )
     return (
-        out.select(id_col, "cos_sim")
+        out.filter(F.col("cos_sim").isNotNull())
+        .select(id_col, "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -134,7 +137,9 @@ def embedding_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     out = cand.withColumn("cos_sim", F.round(_cos("va", "vb"), 4))
-    return out.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+    return out.filter(
+        F.col("cos_sim").isNotNull() & (F.col("cos_sim") >= threshold)
+    ).select("id_a", "id_b", "cos_sim")
 
 
 def lsh_bucketed_topk(

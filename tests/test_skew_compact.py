@@ -68,15 +68,17 @@ def test_compaction_threshold_and_equivalence(spark, tmp_path):
     full = change_feed(spark, 1_800, n_keys=40, seed=41)
     expected = replay_to_pandas(full.toPandas(), cfg, target_cols=TARGET_COLS)
     assert_state_equal(table.read().toPandas(), expected)
-    # tombstones were physically dropped from compacted base files
-    import os
-
-    base_files = [
-        os.path.join(table.path, p) for e in files.values() for p in e["base"]
-    ]
-    if base_files:
-        raw = spark.read.parquet(*base_files)
-        assert "_op" not in raw.columns or raw.filter(F.col("_op") == "drop").count() == 0
+    # tombstones are RETAINED through compaction (stale-replay guard) and
+    # hidden from normal reads; purge removes them explicitly
+    with_tombs = table.read(include_tombstones=True)
+    n_tombs = with_tombs.filter(F.col("_op") == "drop").count()
+    assert n_tombs > 0
+    table.compact(purge_tombstones=True)
+    assert (
+        table.read(include_tombstones=True).filter(F.col("_op") == "drop").count()
+        < n_tombs
+    )
+    assert_state_equal(table.read().toPandas(), expected)
 
 
 def test_explicit_compact_all(spark, tmp_path):
