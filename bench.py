@@ -9,8 +9,8 @@ local[$SPARK_GRAFT_CPUS].
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores (default 32)
-  BENCH_EVENTS         replay size (default 8_000_000)
-  BENCH_KEYS           distinct keys (default 1_000_000)
+  BENCH_EVENTS         replay size (default 16_000_000)
+  BENCH_KEYS           distinct keys (default 2_000_000)
   BENCH_BATCHES        micro-batches (default 4)
 
 The 10^10-event north rule runs the same generator/pipeline with a larger
@@ -107,8 +107,8 @@ def main() -> int:
     from data_sync_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_events = int(os.environ.get("BENCH_EVENTS", "8000000"))
-    n_keys = int(os.environ.get("BENCH_KEYS", "1000000"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "16000000"))
+    n_keys = int(os.environ.get("BENCH_KEYS", "2000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
     sf = 0.1
     for tag in ("0.001", "0.01", "0.1"):
