@@ -374,6 +374,21 @@ def _q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): k-gram rolling hash + window minima —
+    textops.analysis operator. Fingerprint sets compared as joined strings."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.analysis import winnow_fingerprints
+
+    _register(spark, sf_dir, names=("documents",))
+    out = winnow_fingerprints(spark.table("documents"), k=3, w=4)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("fingerprints").cast("array<string>"), ",").alias("fps"),
+    )
+
+
 def _q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets +
     exact cosine verification — textops.similarity operator."""
@@ -383,6 +398,19 @@ def _q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(
         spark.table("embeddings"), threshold=0.8, bits=4, tables=2, dims=64
     )
+
+
+def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids → inverted lists →
+    probe nearest lists → exact rerank — textops.similarity operator."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.similarity import ivf_topk
+
+    _register(spark, sf_dir, names=("embeddings",))
+    e = spark.table("embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(e, q, k=10, n_centroids=4, nprobe=2)
 
 
 def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,9 +460,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_regex": _q_doc_token_regex,
     "doc_fingerprint": _q_doc_fingerprint,
     "doc_ngram_jaccard": _q_doc_ngram_jaccard,
+    "doc_winnow": _q_doc_winnow,
     "emb_topk_cosine": _q_emb_topk_cosine,
     "emb_lsh_topk": _q_emb_lsh_topk,
     "emb_near_pairs": _q_emb_near_pairs,
+    "emb_ivf_topk": _q_emb_ivf_topk,
 }
 
 
@@ -823,8 +853,72 @@ WHERE round({dot_ab} / ({norm.format(v='va')} * {norm.format(v='vb')}), 4) >= {t
 """
 
 
+_H_GRAM = _dh("array_to_string(list_slice(ws, i, i + 2), ' ')")
+_DUCK_WINNOW_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                        i -> {_H_GRAM}) AS grams
+  FROM w
+),
+mins AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                        i -> list_min(list_slice(grams, i, i + 3))) AS wins
+  FROM g
+)
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(wins)), ',') AS fps
+FROM mins
+"""
+
+_DUCK_FOLD_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(x, y) -> x + y)"
+)
+_DUCK_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({v}, x -> x * x)), (x, y) -> x + y))"
+)
+
+_DUCK_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id, e.v, c.cid,
+         {_DUCK_FOLD_D2.format(a='e.v', b='c.cv')} AS d
+  FROM e, c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, c.cid ASC) = 1
+),
+probe AS (
+  SELECT c.cid FROM c, q
+  ORDER BY {_DUCK_FOLD_D2.format(a='q.qv', b='c.cv')} ASC, c.cid ASC
+  LIMIT 2
+),
+cand AS (
+  SELECT a.vec_id, a.v, q.qv FROM assign a JOIN probe USING (cid), q
+)
+SELECT vec_id,
+       round({_DUCK_FOLD_DOT.format(a='v', b='qv')} /
+             ({_DUCK_NORM.format(v='v')} * {_DUCK_NORM.format(v='qv')}), 4) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
 ORACLES.update(
     {
+        "emb_ivf_topk": _DUCK_IVF_SQL,
+        "doc_winnow": _DUCK_WINNOW_SQL,
         "doc_ngram_jaccard": _DUCK_NGRAM_JACCARD_SQL,
         "emb_near_pairs": _duck_near_pairs_sql(threshold=0.8, bits=4, tables=2),
         "doc_minhash_sig": _duck_minhash_sql(6),

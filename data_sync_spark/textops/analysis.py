@@ -97,6 +97,40 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word k-gram, slide a window of ``w`` hashes, keep
+    each window's minimum — the selected fingerprint set is guaranteed to
+    share members for any sufficiently long common substring, giving
+    position-robust chunk-level near-dup detection.
+
+    Pure higher-order array expressions per row (no explode of the corpus):
+    k-gram hashes via transform over positions, window minima via
+    transform+slice+array_min, then distinct + sort. Output:
+    ``(id, fingerprints array<bigint>)``."""
+    words = f"split({text_col}, ' ')"
+    n_words = f"size({words})"
+    gram = (
+        f"transform(sequence(1, greatest({n_words} - {k - 1}, 1)), "
+        f"i -> CAST(conv(substr(md5(array_join(slice({words}, i, {k}), ' ')), 1, 8), 16, 10) AS BIGINT))"
+    )
+    wins = (
+        f"transform(sequence(1, greatest(size(_grams) - {w - 1}, 1)), "
+        f"i -> array_min(slice(_grams, i, {w})))"
+    )
+    return (
+        df.withColumn("_grams", F.expr(gram))
+        .withColumn("fingerprints", F.array_sort(F.array_distinct(F.expr(wins))))
+        .select(id_col, "fingerprints")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: full-document md5 plus a word-level polynomial
     rolling hash (order-sensitive, whitespace-normalization-insensitive) —

@@ -87,6 +87,66 @@ def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7, dims: int = 64):
     return sig.cast("int")
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 4,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    coarse centroid (inverted lists), probe only the ``nprobe`` centroids
+    nearest the query, exact cosine rerank inside the probed lists.
+
+    Centroids are a deterministic corpus sample (the ``n_centroids``
+    smallest ids) rather than trained k-means — reproducible across
+    executors and oracles; a production deployment swaps in
+    ``pyspark.ml.clustering.KMeans`` centers without touching the plan
+    shape. At scale the assignment column is computed once and persisted
+    with the table (a partition-prune-able list id); queries then scan
+    ~nprobe/n_centroids of the corpus."""
+    q = [float(x) for x in query_vec]
+    cents = (
+        df.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("c"))
+        .collect()
+    )
+    centroids = [list(r["c"]) for r in cents]
+
+    def dist2_expr(vec: str, cent: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(F.col(vec).cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = df
+    for ci, cent in enumerate(centroids):
+        assigned = assigned.withColumn(f"_d{ci}", dist2_expr(vec_col, cent))
+    # argmin over the centroid distances (ties → lowest index)
+    best = None
+    for ci in range(len(centroids)):
+        cond = None
+        for cj in range(len(centroids)):
+            c = F.col(f"_d{ci}") <= F.col(f"_d{cj}")
+            cond = c if cond is None else cond & c
+        best = F.when(cond, F.lit(ci)) if best is None else best.when(cond, F.lit(ci))
+    assigned = assigned.withColumn("_list", best)
+
+    def py_dist2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)), key=lambda ci: (py_dist2(q, centroids[ci]), ci))[
+        :nprobe
+    ]
+    candidates = assigned.filter(F.col("_list").isin(probe))
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,

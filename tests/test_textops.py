@@ -167,3 +167,38 @@ def test_embedding_near_pairs(spark):
     # same-cluster pairs only at this threshold
     assert all((a % 2) == (b % 2) for a, b in zip(pairs.id_a, pairs.id_b))
     assert (pairs.cos_sim >= 0.99).all()
+
+
+def test_winnow_fingerprints(spark):
+    from data_sync_spark.textops.analysis import winnow_fingerprints
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten"),
+        # shares a long substring with doc 0 (different prefix)
+        (1, "zzz yyy three four five six seven eight nine ten"),
+        (2, "totally unrelated words compose this other document here now"),
+        (3, "one two three four five six seven eight nine ten"),  # exact dup
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    fp = winnow_fingerprints(df, k=3, w=4).toPandas().set_index("doc_id")
+    s0, s1, s2, s3 = (set(fp.loc[i, "fingerprints"]) for i in range(4))
+    assert s0 == s3  # identical docs → identical fingerprint sets
+    assert s0 & s1  # long shared substring → guaranteed shared fingerprint
+    assert not (s0 & s2)  # unrelated docs → disjoint
+
+
+def test_ivf_topk_recall(spark):
+    from data_sync_spark.textops.similarity import cosine_topk, ivf_topk
+
+    rows = []
+    for i in range(200):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vec = [round(b + ((i * 37 + d * 11) % 100) / 1000.0, 4) for d, b in enumerate(base)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    q = [1.0, 0.05, 0.05, 0.05]
+    exact = cosine_topk(df, q, k=5).toPandas()
+    approx = ivf_topk(df, q, k=5, n_centroids=4, nprobe=2).toPandas()
+    # probing the nearest lists must recover the exact top-1 (clustered data)
+    assert approx.cos_sim.iloc[0] == exact.cos_sim.iloc[0]
+    assert len(approx) == 5
