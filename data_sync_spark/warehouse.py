@@ -103,6 +103,45 @@ def apply_batch_multi(
     }
 
 
+def run_stream_multi(
+    spark: SparkSession,
+    feed_path: str,
+    wh: Warehouse,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    app_id: str = "stream",
+    auto_create: bool = True,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+    event_schema: T.StructType | None = None,
+):
+    """Multi-table streaming ingest: one query tails the change feed and
+    routes every micro-batch into per-source tables — the full sync-service
+    shape (reference: one consumer feeding many tables)."""
+    from data_sync_spark.schema import EVENT_SCHEMA
+    from data_sync_spark.streaming.runner import file_change_feed
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch_multi(
+            wh, batch_df, batch_id, cfg, app_id=app_id, auto_create=auto_create
+        )
+
+    feed = file_change_feed(
+        spark,
+        feed_path,
+        schema=event_schema or EVENT_SCHEMA,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    writer = (
+        feed.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def inspect_all(
     wh_source: Warehouse, wh_target: Warehouse
 ) -> dict[str, dict]:

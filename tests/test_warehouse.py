@@ -51,3 +51,26 @@ def test_auto_create_and_intersect_inspect(spark, tmp_path):
     apply_batch_multi(tgt_wh, rest, 1, cfg, auto_create=True)
     report2 = inspect_all(src_wh, tgt_wh)
     assert all(v["verdict"] == "ok" for v in report2.values()), report2
+
+
+def test_run_stream_multi(spark, tmp_path):
+    """Streaming multi-table routing end-to-end with crash-free replay."""
+    from data_sync_spark.generator import write_feed_chunks
+    from data_sync_spark.warehouse import run_stream_multi
+
+    feed = str(tmp_path / "feed")
+    write_feed_chunks(spark, feed, 2_400, chunk_size=600, n_keys=150, seed=71)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = PipelineConfig()
+    q = run_stream_multi(spark, feed, wh, cfg, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    assert set(wh.list_tables()) == {"web", "books", "code", "wiki"}
+    events = change_feed(spark, 2_400, n_keys=150, seed=71).toPandas()
+    total = 0
+    for src in wh.list_tables():
+        expected = replay_to_pandas(
+            events[events.source == src], cfg, target_cols=TARGET_COLS
+        )
+        assert_state_equal(wh.table(src).read().toPandas(), expected, msg=src)
+        total += len(expected)
+    assert total > 0
