@@ -394,8 +394,10 @@ class LakeTable:
         no dedup — new base files are added to each bucket."""
         manifest = self.current()
         if app_id is not None and batch_id is not None:
-            last = manifest["apps"].get(app_id)
-            if last is not None and batch_id <= int(last["last_batch_id"]):
+            # .get: app state may exist without a batch id (watermark-only
+            # set_app_state commit) — treat that as "no batch applied yet"
+            last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
+            if last is not None and batch_id <= int(last):
                 return -1
         app_state = None
         schema = T.StructType.fromJson(manifest["schema"])
@@ -482,8 +484,10 @@ class LakeTable:
         """
         manifest = self.current()
         if batch_id is not None:
-            last = manifest["apps"].get(app_id)
-            if last is not None and batch_id <= int(last["last_batch_id"]):
+            # .get: app state may exist without a batch id (watermark-only
+            # set_app_state commit) — treat that as "no batch applied yet"
+            last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
+            if last is not None and batch_id <= int(last):
                 # Replayed epoch after checkpoint resume → exactly-once skip.
                 return MergeResult(committed=False, version=None, batch_id=batch_id)
 
@@ -533,25 +537,44 @@ class LakeTable:
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         obs = Observation("merge-mor")
-        out = (
-            net.select(
-                *cols,
-                F.col(_VER),
-                F.when(F.col("m_action") == "drop", F.lit("drop"))
-                .otherwise(F.lit("set"))
-                .alias(_OP),
-                F.col(_BUCKET),
-            )
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("net_rows"),
-                F.sum(F.when(F.col(_OP) == "set", 1).otherwise(0)).alias("sets"),
-                F.sum(F.when(F.col(_OP) == "drop", 1).otherwise(0)).alias("drops"),
-            )
+        # MOR expresses each net row as ONE delta row, so it is only valid
+        # when the matched and unmatched outcomes coincide: (drop, none) or
+        # (set, set) with identical row images. Divergent rows (m_action=
+        # 'keep', u_action='none' with a live set, differing images — i.e.
+        # append-mode semantics) need the COW join; count them in the same
+        # observation and abort BEFORE the manifest commit (written files
+        # stay unreferenced orphans — snapshot isolation holds).
+        mor_safe = (
+            (F.col("m_action") == "drop") & (F.col("u_action") == "none")
+        ) | (
+            (F.col("m_action") == "set")
+            & (F.col("u_action") == "set")
+            & F.col("m_val").eqNullSafe(F.col("u_val"))
+        )
+        net = net.observe(
+            obs,
+            F.count(F.lit(1)).alias("net_rows"),
+            F.sum(F.when(F.col("m_action") != "drop", 1).otherwise(0)).alias("sets"),
+            F.sum(F.when(F.col("m_action") == "drop", 1).otherwise(0)).alias("drops"),
+            F.sum(F.when(mor_safe, 0).otherwise(1)).alias("divergent"),
+        )
+        out = net.select(
+            *cols,
+            F.col(_VER),
+            F.when(F.col("m_action") == "drop", F.lit("drop"))
+            .otherwise(F.lit("set"))
+            .alias(_OP),
+            F.col(_BUCKET),
         )
         version = manifest["version"] + 1
         new_files = self._write_bucket_files(out, version, "d")
-        got = _safe_obs(obs, {"net_rows": 0, "sets": 0, "drops": 0})
+        got = _safe_obs(obs, {"net_rows": 0, "sets": 0, "drops": 0, "divergent": 0})
+        if int(got.get("divergent") or 0) > 0:
+            raise ValueError(
+                f"merge(mor=True) requires branch-coincident net rows "
+                f"(upsert-only batches); {got['divergent']} of "
+                f"{got['net_rows']} rows diverge — run with mor=False"
+            )
         if not new_files:
             return MergeResult(committed=False, version=None, batch_id=batch_id)
 

@@ -34,20 +34,38 @@ def upsert_flag_expr(cfg: PipelineConfig, source_col: str = "source"):
     return expr
 
 
+def valid_event_pred():
+    """Well-formed event predicate. Malformed events (no key, unknown op,
+    null ordering key — e.g. a Maxwell position that failed to parse) are
+    quarantined, never allowed into LWW dedup where a null ordering key
+    would make the winner nondeterministic. The reference retries 3× then
+    skips poisoned events (mysql_handler.go:107-119); ``apply_batch`` counts
+    rows failing this predicate as ``quarantined`` in the batch lineage."""
+    return (
+        F.col("doc_id").isNotNull()
+        & F.col("log_offset").isNotNull()
+        & F.col("seq").isNotNull()
+        & F.col("op").isin("insert", "update", "delete")
+    )
+
+
 def prepare_events(
     events: DataFrame,
     cfg: PipelineConfig,
     target_schema: T.StructType,
 ) -> DataFrame:
-    """Route → column-filter → custom transform → schema-conform.
+    """Guard → route → upsert-flag → column-filter → custom transform →
+    schema-conform. Returns the filtered event stream (still multi-event per
+    key) carrying the resolved ``_upsert`` flag.
 
-    Returns the filtered event stream (still multi-event per key)."""
-    # malformed events (no key / unknown op) are dropped — the reference
-    # retries 3× then skips poisoned events (mysql_handler.go:107-119)
-    df = events.filter(
-        F.col("doc_id").isNotNull() & F.col("op").isin("insert", "update", "delete")
-    )
+    The ``_upsert`` flag (and routing) is resolved from the PRE-filter
+    ``source`` value: a config that lists ``source`` in filter_cols nulls the
+    column for the target row image, but mode resolution must still see the
+    original value (the reference resolves IsUpsert from the table name
+    before any column filtering, ``regular_base.go:44-49``)."""
+    df = events.filter(valid_event_pred())
     df = route_filter(df, cfg.data_mode, cfg.include_sources, cfg.exclude_sources)
+    df = df.withColumn("_upsert", upsert_flag_expr(cfg))
     df = column_filter(df, cfg.filter_cols)
     df = get_transform(cfg.transform)(df)
     df = schema_conform(df, target_schema, evolve=cfg.evolve_schema)
@@ -69,6 +87,10 @@ def net_changes(
     per doc_id in the encoding ``LakeTable.merge`` consumes
     (m_action/u_action + branch row images)."""
     df = prepare_events(events, cfg, target_schema)
-    df = df.withColumn("_upsert", upsert_flag_expr(cfg))
+    if "_upsert" not in df.columns:
+        raise ValueError(
+            "transform dropped the internal _upsert column; custom "
+            "transforms must preserve internal (_-prefixed) columns"
+        )
     payload_cols = [c for c in df.columns if c not in (*META_COLS, "_upsert")]
     return net_effect(df, payload_cols, all_upsert=all_upsert(cfg))

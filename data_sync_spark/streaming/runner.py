@@ -20,13 +20,15 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_sync_spark.config import PipelineConfig
 from data_sync_spark.lake import LakeTable
+from data_sync_spark.lake.table import MergeResult, _safe_obs
 from data_sync_spark.metrics import MetricsSink, partition_lineage
-from data_sync_spark.pipeline import all_upsert, net_changes
+from data_sync_spark.pipeline import all_upsert, net_changes, valid_event_pred
 from data_sync_spark.schema import EVENT_SCHEMA
 
 
@@ -56,14 +58,49 @@ def apply_batch(
     sink: MetricsSink | None = None,
     extra_summary: dict | None = None,
     app_state: dict | None = None,
+    lineage_level: str = "batch",
 ) -> dict:
     """The shared batch core (streaming + backfill): pipeline → net effect →
-    idempotent MERGE → lineage emit."""
+    idempotent MERGE → lineage emit.
+
+    Lineage (source offset range, event count, quarantined-event count)
+    rides the merge job itself via ``observe()`` — no second scan of the
+    batch. ``lineage_level="partition"`` additionally records per-source-
+    partition offset ranges at the cost of one extra column-pruned scan.
+    Quarantined = rows failing :func:`pipeline.valid_event_pred` (null key /
+    null ordering / unknown op) — the vectorized analog of the reference's
+    retry-3×-then-skip poison handling (``mysql_handler.go:107-119``): the
+    batch still commits and the offset still advances, with the skip count
+    surfaced per batch."""
     t0 = time.monotonic()
+    last = table.last_batch_id(app_id)
+    if batch_id is not None and last is not None and batch_id <= last:
+        # Replayed epoch after checkpoint resume: skip WITHOUT running a job
+        # (the lineage observation below only fills once an action executes).
+        # merge() re-checks under the manifest commit for concurrent safety.
+        result = MergeResult(committed=False, version=None, batch_id=batch_id)
+        record = {
+            "app_id": app_id,
+            "batch_id": batch_id,
+            "events_in": 0,
+            "replay_skipped": True,
+            "elapsed_sec": round(time.monotonic() - t0, 3),
+            **result.as_dict(),
+        }
+        if sink is not None:
+            sink.emit(record)
+        return record
+
+    obs = Observation(f"lineage-{app_id}-{batch_id}")
+    batch_df = batch_df.observe(
+        obs,
+        F.count(F.lit(1)).alias("events"),
+        F.min("log_offset").alias("offset_min"),
+        F.max("log_offset").alias("offset_max"),
+        F.sum(F.when(valid_event_pred(), 0).otherwise(1)).alias("quarantined"),
+    )
     # no persist: the batch source (parquet chunk / generator range) is
     # cheaper to recompute than to cache, and the MOR merge is single-pass
-    lineage = partition_lineage(batch_df)
-    events_in = sum(p["events"] for p in lineage)
     net = net_changes(batch_df, cfg, table.schema)
     result = table.merge(
         net,
@@ -73,17 +110,23 @@ def apply_batch(
         # upsert-only configs take the O(net) merge-on-read path;
         # append-mode needs the matched/unmatched COW join
         mor=all_upsert(cfg),
-        extra_summary={"events_in": events_in, **(extra_summary or {})},
+        extra_summary=extra_summary,
         app_state=app_state,
+    )
+    lineage = _safe_obs(
+        obs, {"events": 0, "offset_min": None, "offset_max": None, "quarantined": 0}
     )
     record = {
         "app_id": app_id,
         "batch_id": batch_id,
-        "events_in": events_in,
+        "events_in": int(lineage["events"]),
+        "quarantined": int(lineage["quarantined"] or 0),
+        "lineage": lineage,
         "elapsed_sec": round(time.monotonic() - t0, 3),
-        "partitions": lineage,
         **result.as_dict(),
     }
+    if lineage_level == "partition":
+        record["partitions"] = partition_lineage(batch_df)
     if sink is not None:
         sink.emit(record)
     return record

@@ -108,7 +108,14 @@ def parse_maxwell(
         # route dimension: the Maxwell table name is the reference's routing
         # key; fall back to the payload's source column
         F.coalesce(F.col("_env.data.source"), F.col("_env.table")).alias("source"),
-    ).filter(F.col("op").isin("insert", "update", "delete"))
+    ).filter(
+        # a well-formed op whose position failed to parse must NOT enter LWW
+        # dedup with a null ordering key (nondeterministic winner) — drop it
+        # here; the pipeline guard (pipeline.valid_event_pred) also counts
+        # such rows as quarantined when they arrive via other feeds
+        F.col("op").isin("insert", "update", "delete")
+        & F.col("log_offset").isNotNull()
+    )
 
 
 def kafka_change_feed(

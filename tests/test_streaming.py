@@ -41,12 +41,15 @@ def test_streaming_replay_matches_oracle(spark, tmp_path):
     q = run_stream(spark, feed_dir, table, cfg, str(tmp_path / "ckpt"))
     q.awaitTermination(300)
     assert_state_equal(table.read().toPandas(), expected_state(spark, 3_000, cfg))
-    # lineage: every batch recorded per-partition offset ranges + counts
+    # lineage: every batch recorded its offset range + counts, riding the
+    # merge job itself (no second scan), with poison accounting
     recs = MetricsSink(table.path).records()
     assert len(recs) >= 2
-    assert all("partitions" in r and r["events_in"] > 0 for r in recs)
-    offsets = [p for r in recs for p in r["partitions"]]
-    assert all(p["offset_min"] <= p["offset_max"] for p in offsets)
+    assert all("lineage" in r and r["events_in"] > 0 for r in recs)
+    assert all(
+        r["lineage"]["offset_min"] <= r["lineage"]["offset_max"] for r in recs
+    )
+    assert all(r["quarantined"] == 0 for r in recs)
 
 
 def test_crash_resume_exactly_once(spark, tmp_path):
