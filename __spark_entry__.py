@@ -167,6 +167,56 @@ def _q_cdc_append_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Composite-key change feed: tenant (mod 5) and doc_id (mod 199) are
+# independent residues of user_id (199 coprime to 5), so the same doc_id
+# value recurs under several tenants — a single-column key would collide.
+CHANGES_CK_SQL = """
+SELECT
+  CASE WHEN event_id % 10 < 6 THEN 'insert'
+       WHEN event_id % 10 < 9 THEN 'update'
+       ELSE 'delete' END                                   AS op,
+  'T' || CAST(user_id % 5 AS STRING)                       AS tenant,
+  'doc-' || lpad(CAST(user_id % 199 AS STRING), 4, '0')    AS doc_id,
+  CAST(event_id AS BIGINT)                                 AS log_offset,
+  CAST(event_id % 5 AS INT)                                AS seq,
+  event_type                                               AS source,
+  CAST((event_id % 64) + 1 AS INT)                         AS n_tok
+FROM events
+"""
+
+
+def _q_cdc_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite primary key (tenant, doc_id) through LWW dedup + delete
+    filter — the reference MQ path's multi-column pk
+    (``mysql_filter_service.go:90-93``) vectorized; key generalizes through
+    lww_collapse/net_effect/merge/bucket transform (lake.table)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.operators.dedup import lww_collapse
+
+    _register(spark, sf_dir, names=("events",))
+    ch = spark.sql(CHANGES_CK_SQL)
+    win = lww_collapse(ch, key_col=["tenant", "doc_id"])
+    return win.filter(F.col("op") != "delete").select(
+        "tenant", "doc_id", "log_offset", "seq", "source", "n_tok"
+    )
+
+
+def _q_cdc_composite_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """net_effect branch encoding keyed on the composite (tenant, doc_id)."""
+    from data_sync_spark.operators.dedup import net_effect
+
+    _register(spark, sf_dir, names=("events",))
+    ch = spark.sql(CHANGES_CK_SQL)
+    net = net_effect(
+        ch,
+        payload_cols=["tenant", "doc_id", "source", "n_tok"],
+        key_col=["tenant", "doc_id"],
+        all_upsert=True,
+    )
+    return net.select("tenant", "doc_id", "log_offset", "seq", "m_action", "u_action")
+
+
 def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 route predicate: PART + include + exclude → default deny rest."""
     from pyspark.sql import functions as F
@@ -444,6 +494,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_salted": _q_cdc_lww_salted,
     "cdc_net_actions": _q_cdc_net_actions,
     "cdc_append_state": _q_cdc_append_state,
+    "cdc_composite_key": _q_cdc_composite_key,
+    "cdc_composite_net": _q_cdc_composite_net,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
     "column_filter": _q_column_filter,
@@ -529,6 +581,22 @@ ORACLES: dict[str, str] = {
                CASE WHEN lu IS NOT NULL AND lu > fi THEN lu_source ELSE fi_source END AS source,
                CASE WHEN lu IS NOT NULL AND lu > fi THEN lu_ntok ELSE fi_ntok END AS n_tok
         FROM agg WHERE fi IS NOT NULL
+    """,
+    "cdc_composite_key": f"""
+        WITH changes AS ({CHANGES_CK_SQL})
+        SELECT tenant, doc_id, log_offset, seq, source, n_tok FROM changes
+        QUALIFY row_number() OVER (PARTITION BY tenant, doc_id
+                                   ORDER BY log_offset DESC, seq DESC) = 1
+          AND op <> 'delete'
+    """,
+    "cdc_composite_net": f"""
+        WITH changes AS ({CHANGES_CK_SQL})
+        SELECT tenant, doc_id, log_offset, seq,
+               CASE WHEN op = 'delete' THEN 'drop' ELSE 'set' END AS m_action,
+               CASE WHEN op = 'delete' THEN 'none' ELSE 'set' END AS u_action
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY tenant, doc_id
+                                   ORDER BY log_offset DESC, seq DESC) = 1
     """,
     "route_include": f"""
         {_CH}
@@ -636,15 +704,50 @@ _DUCK_SHINGLES2 = """
 
 
 def _duck_minhash_cols(k: int) -> str:
+    """Affine-permutation MinHash twin: same (a_i, b_i) constants as the
+    Spark operator (one base hash per shingle, k permutations)."""
+    from data_sync_spark.textops.dedup import MINHASH_PRIME, minhash_params
+
     cols = []
-    for i in range(k):
-        h = _dh(f"concat('mh{i}:', x)")
-        cols.append(f"       list_min(list_transform(s, x -> {h})) AS mh_{i}")
+    for i, (a, b) in enumerate(minhash_params(k)):
+        cols.append(
+            f"       list_min(list_transform(hs, h -> "
+            f"({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{i}"
+        )
     return ",\n".join(cols)
 
 
+def _duck_hs_ctes(shingle_n: int = 2) -> str:
+    """Word-hash polynomial shingle base hashes — twin of
+    minhash_signatures: one hash per word, shingle = ((h_i*31 + h_i+1)*31
+    + ...) mod P; short docs fall back to one whole-text hash."""
+    from data_sync_spark.textops.dedup import MINHASH_PRIME
+
+    wh = _dh("w")
+    poly = "wh[i]"
+    for j in range(1, shingle_n):
+        poly = f"({poly} * 31 + wh[i + {j}])"
+    return f"""wh0 AS (
+    SELECT doc_id, text,
+           list_transform(string_split(text, ' '), w -> ({wh}) % {MINHASH_PRIME}) AS wh
+    FROM documents
+  ),
+  hs0 AS (
+    SELECT doc_id,
+           CASE WHEN len(wh) < {shingle_n}
+                THEN [({_dh('text')}) % {MINHASH_PRIME}]
+                ELSE list_transform(range(1, len(wh) - {shingle_n - 1} + 1),
+                                    i -> ({poly}) % {MINHASH_PRIME})
+           END AS hs
+    FROM wh0
+  )"""
+
+
 def _duck_minhash_sql(k: int) -> str:
-    return f"WITH{_DUCK_SHINGLES2}\nSELECT doc_id,\n{_duck_minhash_cols(k)}\nFROM sh"
+    return (
+        f"WITH {_duck_hs_ctes()}\n"
+        f"SELECT doc_id,\n{_duck_minhash_cols(k)}\nFROM hs0"
+    )
 
 
 def _duck_lsh_pairs_sql(k: int = 8, bands: int = 4, min_est: float = 0.25) -> str:
@@ -661,10 +764,10 @@ def _duck_lsh_pairs_sql(k: int = 8, bands: int = 4, min_est: float = 0.25) -> st
     )
     sig_list = ", ".join(f"mh_{i}" for i in range(k))
     return f"""
-WITH{_DUCK_SHINGLES2},
+WITH {_duck_hs_ctes()},
 mh0 AS (SELECT doc_id,
 {_duck_minhash_cols(k)}
-FROM sh),
+FROM hs0),
 mh AS (SELECT doc_id, [{sig_list}] AS sig, * FROM mh0),
 banded AS ({banded}),
 pairs AS (

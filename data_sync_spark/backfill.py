@@ -126,14 +126,9 @@ def sync_table_direct(
     rows = source.read(include_internal=True)
     events = rows.select(
         F.lit("insert").alias("op"),
-        F.col(source.key_col).alias("doc_id"),
         F.col("_ver.off").alias("log_offset"),
         F.col("_ver.seq").alias("seq"),
-        *[
-            F.col(f.name)
-            for f in source.schema.fields
-            if f.name != source.key_col
-        ],
+        *[F.col(f.name) for f in source.schema.fields],
     )
     return backfill(
         spark,

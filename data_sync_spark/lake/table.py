@@ -36,11 +36,24 @@ get from Iceberg:
   (Iceberg add-column semantics). Reference analog: the 10s-TTL ``DESC``
   cache (``mysql_handler.go:282-294``).
 
-Single-writer assumption (one streaming query per table), as with the
-reference's single handler goroutine; concurrent commits raise
-``CommitConflict``. File listing uses ``os`` because the sandbox is a local
-FS; on a real cluster this layer *is* Iceberg and the rest of the engine is
-unchanged.
+* **Concurrent writers** (reference parity: facade.RunAll starts syncmq +
+  syncdirect against the same target simultaneously,
+  ``/root/reference/src/application/strategy/facade.go:28-36``) — commits
+  use optimistic concurrency with manifest **rebase**: data files are
+  written first (invisible until referenced), then the manifest mutation is
+  re-derived against whatever snapshot is current when the O_EXCL commit
+  race is won. MOR delta-adds, appends, app-state and add-column commits
+  commute with everything and always rebase; COW merges and compactions
+  replace bucket contents, so they rebase only over commits to *other*
+  buckets — a concurrent touch of an affected bucket forces a recompute
+  from the new snapshot (``ConcurrentWriteRetry``). Convergence for
+  overlapping keys is guaranteed by the per-row ``_ver`` LWW guard
+  (upsert/LWW semantics); append-mode outcomes for keys written
+  concurrently by two writers are arrival-order-defined, exactly as the
+  reference's duplicate-key-error behavior is.
+
+File listing uses ``os`` because the sandbox is a local FS; on a real
+cluster this layer *is* Iceberg and the rest of the engine is unchanged.
 """
 
 from __future__ import annotations
@@ -54,7 +67,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_sync_spark.schema import KEY_COL
+from data_sync_spark.schema import KEY_COL, as_key_cols
 
 _BUCKET = "_bucket"
 _VER = "_ver"  # per-row applied version: struct<off: long, seq: int>
@@ -74,6 +87,12 @@ DEFAULT_COMPACT_THRESHOLD = 8
 
 class CommitConflict(RuntimeError):
     """Another writer committed the version this writer was about to."""
+
+
+class ConcurrentWriteRetry(RuntimeError):
+    """A concurrent commit touched this writer's affected buckets; the
+    result must be recomputed from the new snapshot (COW/compact only —
+    MOR delta-adds and appends always rebase without recompute)."""
 
 
 @dataclass
@@ -98,9 +117,11 @@ class MergeResult:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
 
 
-def bucket_expr(n_buckets: int, key_col: str = KEY_COL):
-    """Iceberg-style ``bucket(N, key)`` partition transform."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+def bucket_expr(n_buckets: int, key_col=KEY_COL):
+    """Iceberg-style ``bucket(N, key)`` partition transform; composite keys
+    hash all key columns together."""
+    keys = as_key_cols(key_col)
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
 def _physical(schema: T.StructType) -> T.StructType:
@@ -215,6 +236,36 @@ class LakeTable:
         self._write_manifest(child)
         return child
 
+    def _commit_with_rebase(
+        self, build, manifest: dict, max_retries: int = 64
+    ) -> dict | None:
+        """Optimistic-concurrency commit loop (the reference runs syncmq +
+        syncdirect into one target simultaneously, ``facade.go:28-36``; here
+        concurrent writers commute at the manifest level).
+
+        ``build(current_manifest)`` returns ``_commit_child`` updates
+        re-derived against the CURRENT manifest — i.e. the commit *rebased*
+        onto whatever landed since this writer's snapshot — or ``None`` to
+        skip (e.g. the batch turned out already applied by a concurrent
+        writer of the same app). ``build`` may raise
+        :class:`ConcurrentWriteRetry` when its data files are invalidated by
+        a concurrent commit (COW), which propagates to the caller for a full
+        recompute. O_EXCL on the manifest file serializes the winners; the
+        TOCTOU window between ``build`` and the write is closed by the
+        retry: a conflicting commit forces ``build`` to re-run against the
+        true parent."""
+        for _ in range(max_retries):
+            updates = build(manifest)
+            if updates is None:
+                return None
+            try:
+                return self._commit_child(manifest, **updates)
+            except CommitConflict:
+                manifest = self.current()
+        raise CommitConflict(
+            f"gave up after {max_retries} rebase attempts at {self.path}"
+        )
+
     # -------------------------------------------------------------- metadata
     @property
     def schema(self) -> T.StructType:
@@ -225,8 +276,13 @@ class LakeTable:
         return int(self.current()["n_buckets"])
 
     @property
-    def key_col(self) -> str:
+    def key_col(self):
+        """Primary key spec as stored: a column name or a list of them."""
         return self.current().get("key_col", KEY_COL)
+
+    @property
+    def key_cols(self) -> list[str]:
+        return as_key_cols(self.key_col)
 
     def last_batch_id(self, app_id: str) -> int | None:
         app = self.current()["apps"].get(app_id)
@@ -240,13 +296,15 @@ class LakeTable:
         return dict(self.current()["apps"].get(app_id, {}))
 
     def set_app_state(self, app_id: str, **state) -> int:
-        """Metadata-only commit updating an app's durable state."""
-        manifest = self.current()
-        apps = dict(manifest["apps"])
-        apps[app_id] = {**apps.get(app_id, {}), **state}
-        child = self._commit_child(
-            manifest, apps=apps, summary={"operation": "app-state", "app": app_id}
-        )
+        """Metadata-only commit updating an app's durable state. Rebases
+        over concurrent commits (app states of different apps commute)."""
+
+        def build(m: dict) -> dict:
+            apps = dict(m["apps"])
+            apps[app_id] = {**apps.get(app_id, {}), **state}
+            return {"apps": apps, "summary": {"operation": "app-state", "app": app_id}}
+
+        child = self._commit_with_rebase(build, self.current())
         return child["version"]
 
     def history(self) -> list[dict]:
@@ -303,7 +361,7 @@ class LakeTable:
                 manifest = json.load(f)
         schema = T.StructType.fromJson(manifest["schema"])
         dschema = _delta_schema(schema)
-        key_col = manifest.get("key_col", KEY_COL)
+        keys = as_key_cols(manifest.get("key_col", KEY_COL))
 
         clean_base: list[str] = []
         dirty_files: list[str] = []
@@ -324,7 +382,7 @@ class LakeTable:
             )
         if dirty_files:
             raw = self.spark.read.schema(dschema).parquet(*self._abs(dirty_files))
-            parts.append(_resolve(raw, dschema, key_col))
+            parts.append(_resolve(raw, dschema, keys))
         if not parts:
             df = self.spark.createDataFrame([], dschema)
         else:
@@ -344,9 +402,12 @@ class LakeTable:
     def _write_bucket_files(
         self, df: DataFrame, version: int, tag: str
     ) -> dict[str, list[str]]:
-        """Write ``df`` (payload + _bucket col) under data/{tag}{version}/
-        and return {bucket: [relative file paths]}."""
-        rel_dir = os.path.join("data", f"{tag}{version:08d}")
+        """Write ``df`` (payload + _bucket col) under data/{tag}{version}_
+        {uuid}/ and return {bucket: [relative file paths]}. The uuid suffix
+        keeps concurrent writers that share a snapshot version from
+        clobbering each other's directories; the version prefix is
+        informational only."""
+        rel_dir = os.path.join("data", f"{tag}{version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         # Hash-partition on the bucket id (NOT repartitionByRange — range
@@ -419,37 +480,49 @@ class LakeTable:
             _BUCKET, bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL))
         )
         new_files = self._write_bucket_files(out, version, "a")
-        files = _copy_files(manifest["files"])
-        for b, paths in new_files.items():
-            files.setdefault(b, {"base": [], "delta": []})
-            files[b]["base"] = files[b]["base"] + paths
-        apps = dict(manifest["apps"])
-        if app_id is not None and batch_id is not None:
-            apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
-        self._commit_child(
-            manifest, files=files, apps=apps, summary={"operation": "append"}
-        )
-        return version
+
+        # base-file adds commute with every other commit → always rebase
+        def build(m: dict) -> dict | None:
+            if app_id is not None and batch_id is not None:
+                last = (m["apps"].get(app_id) or {}).get("last_batch_id")
+                if last is not None and batch_id <= int(last):
+                    return None  # a concurrent writer of this app applied it
+            files = _copy_files(m["files"])
+            for b, paths in new_files.items():
+                files.setdefault(b, {"base": [], "delta": []})
+                files[b]["base"] = files[b]["base"] + paths
+            apps = dict(m["apps"])
+            if app_id is not None and batch_id is not None:
+                apps[app_id] = {
+                    **apps.get(app_id, {}),
+                    "last_batch_id": batch_id,
+                    **(app_state or {}),
+                }
+            return {"files": files, "apps": apps, "summary": {"operation": "append"}}
+
+        child = self._commit_with_rebase(build, manifest)
+        return -1 if child is None else child["version"]
 
     def add_columns(self, fields: list[T.StructField]) -> int:
-        """Metadata-only schema evolution (Iceberg safe add-column)."""
+        """Metadata-only schema evolution (Iceberg safe add-column).
+        Rebases over concurrent commits (add-column commutes with
+        everything; duplicate adds collapse)."""
         manifest = self.current()
-        schema = T.StructType.fromJson(manifest["schema"])
-        existing = {f.name for f in schema.fields}
-        new_fields = [f for f in fields if f.name not in existing]
-        if not new_fields:
-            return manifest["version"]
-        for f in new_fields:
-            schema = schema.add(T.StructField(f.name, f.dataType, True))
-        child = self._commit_child(
-            manifest,
-            schema=schema.jsonValue(),
-            summary={
-                "operation": "add-columns",
-                "columns": [f.name for f in new_fields],
-            },
-        )
-        return child["version"]
+
+        def build(m: dict) -> dict | None:
+            schema = _union_schema(T.StructType.fromJson(m["schema"]), fields)
+            if schema.jsonValue() == m["schema"]:
+                return None
+            return {
+                "schema": schema.jsonValue(),
+                "summary": {
+                    "operation": "add-columns",
+                    "columns": [f.name for f in fields],
+                },
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        return manifest["version"] if child is None else child["version"]
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -482,56 +555,65 @@ class LakeTable:
         join resolution of the affected buckets (needed for append-mode
         semantics where outcomes depend on matchedness).
         """
-        manifest = self.current()
-        if batch_id is not None:
-            # .get: app state may exist without a batch id (watermark-only
-            # set_app_state commit) — treat that as "no batch applied yet"
-            last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
-            if last is not None and batch_id <= int(last):
-                # Replayed epoch after checkpoint resume → exactly-once skip.
-                return MergeResult(committed=False, version=None, batch_id=batch_id)
+        net0 = net
+        for _attempt in range(16):
+            manifest = self.current()
+            if batch_id is not None:
+                # .get: app state may exist without a batch id (watermark-only
+                # set_app_state commit) — treat that as "no batch applied yet"
+                last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
+                if last is not None and batch_id <= int(last):
+                    # Replayed epoch after checkpoint resume → exactly-once skip.
+                    return MergeResult(committed=False, version=None, batch_id=batch_id)
 
-        schema = T.StructType.fromJson(manifest["schema"])
-        key_col = manifest.get("key_col", KEY_COL)
-        n_buckets = manifest["n_buckets"]
+            schema = T.StructType.fromJson(manifest["schema"])
+            key_col = manifest.get("key_col", KEY_COL)
+            n_buckets = manifest["n_buckets"]
 
-        evolved: list[str] = []
-        payload_struct: T.StructType = net.schema["m_val"].dataType
-        if auto_evolve:
-            known = {f.name for f in schema.fields}
-            new_fields = [f for f in payload_struct.fields if f.name not in known]
-            if new_fields:
-                for f in new_fields:
-                    schema = schema.add(T.StructField(f.name, f.dataType, True))
-                evolved = [f.name for f in new_fields]
+            evolved: list[str] = []
+            payload_struct: T.StructType = net0.schema["m_val"].dataType
+            if auto_evolve:
+                known = {f.name for f in schema.fields}
+                new_fields = [f for f in payload_struct.fields if f.name not in known]
+                if new_fields:
+                    for f in new_fields:
+                        schema = schema.add(T.StructField(f.name, f.dataType, True))
+                    evolved = [f.name for f in new_fields]
 
-        net = net.withColumn(_BUCKET, bucket_expr(n_buckets, key_col)).withColumn(
-            _VER,
-            F.struct(
-                F.col("log_offset").cast("long").alias("off"),
-                F.col("seq").cast("int").alias("seq"),
-            ),
-        )
-        if mor:
-            return self._merge_mor(
-                manifest, net, schema, payload_struct, key_col,
-                app_id, batch_id, evolved, extra_summary, app_state,
+            net = net0.withColumn(_BUCKET, bucket_expr(n_buckets, key_col)).withColumn(
+                _VER,
+                F.struct(
+                    F.col("log_offset").cast("long").alias("off"),
+                    F.col("seq").cast("int").alias("seq"),
+                ),
             )
-        return self._merge_cow(
-            manifest, net, schema, payload_struct, key_col,
-            app_id, batch_id, evolved, extra_summary, app_state,
-        )
+            try:
+                if mor:
+                    return self._merge_mor(
+                        manifest, net, schema, payload_struct, key_col,
+                        app_id, batch_id, evolved, extra_summary, app_state,
+                    )
+                return self._merge_cow(
+                    manifest, net, schema, payload_struct, key_col,
+                    app_id, batch_id, evolved, extra_summary, app_state,
+                )
+            except ConcurrentWriteRetry:
+                # a concurrent commit invalidated the COW output — recompute
+                # the whole merge against the new snapshot
+                continue
+        raise CommitConflict(f"COW merge starved after 16 recomputes at {self.path}")
 
     # ------------------------------------------------------- merge: MOR path
     def _merge_mor(
         self, manifest, net, schema, payload_struct, key_col,
         app_id, batch_id, evolved, extra_summary, app_state=None,
     ) -> MergeResult:
+        keys = as_key_cols(key_col)
         struct_fields = {f.name for f in payload_struct.fields}
         cols = []
         for f in schema.fields:
-            if f.name == key_col:
-                cols.append(F.col(key_col))
+            if f.name in keys:
+                cols.append(F.col(f.name))
             elif f.name in struct_fields:
                 cols.append(F.col(f"u_val.{f.name}").cast(f.dataType).alias(f.name))
             else:
@@ -577,28 +659,45 @@ class LakeTable:
             )
         if not new_files:
             return MergeResult(committed=False, version=None, batch_id=batch_id)
-
-        files = _copy_files(manifest["files"])
         affected = sorted(int(b) for b in new_files)
-        for b, paths in new_files.items():
-            files.setdefault(b, {"base": [], "delta": []})
-            files[b]["delta"] = files[b]["delta"] + paths
 
-        apps = dict(manifest["apps"])
-        if batch_id is not None:
-            apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
-        child = self._commit_child(
-            manifest,
-            schema=schema.jsonValue(),
-            files=files,
-            apps=apps,
-            summary={
-                "operation": "merge-mor",
-                "net_rows": got["net_rows"],
-                "affected_buckets": affected,
-                **(extra_summary or {}),
-            },
-        )
+        # Delta-file adds are order-independent (readers resolve by _ver),
+        # so a MOR merge commutes with ANY concurrent commit — including
+        # another MOR merge into the same buckets — and always rebases.
+        def build(m: dict) -> dict | None:
+            if batch_id is not None:
+                last = (m["apps"].get(app_id) or {}).get("last_batch_id")
+                if last is not None and batch_id <= int(last):
+                    return None  # concurrent writer of this app applied it
+            files = _copy_files(m["files"])
+            for b, paths in new_files.items():
+                files.setdefault(b, {"base": [], "delta": []})
+                files[b]["delta"] = files[b]["delta"] + paths
+            apps = dict(m["apps"])
+            if batch_id is not None:
+                apps[app_id] = {
+                    **apps.get(app_id, {}),
+                    "last_batch_id": batch_id,
+                    **(app_state or {}),
+                }
+            return {
+                "schema": _union_schema(
+                    T.StructType.fromJson(m["schema"]), schema
+                ).jsonValue(),
+                "files": files,
+                "apps": apps,
+                "summary": {
+                    "operation": "merge-mor",
+                    "net_rows": got["net_rows"],
+                    "affected_buckets": affected,
+                    **(extra_summary or {}),
+                },
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        if child is None:
+            return MergeResult(committed=False, version=None, batch_id=batch_id)
+        files = child["files"]
         threshold = manifest.get("compact_threshold", DEFAULT_COMPACT_THRESHOLD)
         to_compact = [
             int(b) for b, e in files.items() if len(e.get("delta", [])) >= threshold
@@ -642,21 +741,47 @@ class LakeTable:
         ]
         if not dirty:
             return []
+        # pin the read to THIS snapshot: the commit below replaces exactly
+        # what was resolved here; deltas landing meanwhile are carried over
         resolved = self.read(
-            buckets=dirty, include_internal=True, include_tombstones=not purge_tombstones
+            buckets=dirty,
+            version=manifest["version"],
+            include_internal=True,
+            include_tombstones=not purge_tombstones,
         ).withColumn(_BUCKET, bucket_expr(manifest["n_buckets"], key_col))
         version = manifest["version"] + 1
         new_files = self._write_bucket_files(resolved, version, "c")
-        files = _copy_files(manifest["files"])
-        for b in dirty:
-            bs = str(b)
-            files[bs] = {"base": new_files.get(bs, []), "delta": []}
-        self._commit_child(
-            manifest,
-            files=files,
-            summary={"operation": "compact", "buckets": dirty},
-        )
-        return dirty
+        snap_files = manifest["files"]
+        compacted: list[int] = []
+
+        def build(m: dict) -> dict | None:
+            compacted.clear()
+            files = _copy_files(m["files"])
+            for b in dirty:
+                bs = str(b)
+                se = snap_files.get(bs, {"base": [], "delta": []})
+                ce = files.get(bs, {"base": [], "delta": []})
+                # rebase rule: our output replaces exactly (se.base, se.delta).
+                # Deltas appended since commute (carried over); any other
+                # change to the bucket (COW replace, concurrent compact)
+                # invalidates our output for it → skip that bucket.
+                if ce["base"] == se.get("base", []) and ce["delta"][
+                    : len(se.get("delta", []))
+                ] == se.get("delta", []):
+                    files[bs] = {
+                        "base": new_files.get(bs, []),
+                        "delta": ce["delta"][len(se.get("delta", [])):],
+                    }
+                    compacted.append(b)
+            if not compacted:
+                return None
+            return {
+                "files": files,
+                "summary": {"operation": "compact", "buckets": compacted},
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        return [] if child is None else sorted(compacted)
 
     # ----------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict:
@@ -712,10 +837,11 @@ class LakeTable:
             if net_rows == 0:
                 return MergeResult(committed=False, version=None, batch_id=batch_id)
             small = net_rows <= BROADCAST_MAX_ROWS
+            keys = as_key_cols(key_col)
             s_matched = net.select(
-                key_col, "m_action", "m_val", "u_action", "u_val", _VER
+                *keys, "m_action", "m_val", "u_action", "u_val", _VER
             )
-            s_keys = net.select(key_col)
+            s_keys = net.select(*keys)
             if small:
                 s_matched = F.broadcast(s_matched)
                 s_keys = F.broadcast(s_keys)
@@ -725,9 +851,14 @@ class LakeTable:
             # Conform to the (possibly evolved) schema so old files expose
             # the new columns as nulls. Tombstones ride along as rows
             # (_op='drop') so deleted keys keep their version guard.
+            # pinned to THIS snapshot: the commit's compatibility check
+            # verifies the affected buckets are unchanged since exactly here
             target = self._conform(
                 self.read(
-                    buckets=affected, include_internal=True, include_tombstones=True
+                    buckets=affected,
+                    version=manifest["version"],
+                    include_internal=True,
+                    include_tombstones=True,
                 ),
                 phys,
             )
@@ -738,8 +869,8 @@ class LakeTable:
             def from_struct(col_name: str) -> list:
                 cols = []
                 for f in schema.fields:
-                    if f.name == key_col:
-                        cols.append(F.col(key_col))
+                    if f.name in keys:
+                        cols.append(F.col(f.name))
                     elif f.name in struct_fields:
                         cols.append(
                             F.col(f"{col_name}.{f.name}").cast(f.dataType).alias(f.name)
@@ -750,7 +881,7 @@ class LakeTable:
 
             # Rows of affected buckets whose key is untouched: carried as-is.
             # (anti join, build side = broadcast change keys)
-            kept = target.join(s_keys, key_col, "left_anti")
+            kept = target.join(s_keys, keys, "left_anti")
             # Keys present in both sides: live target rows take the matched
             # branch, tombstone rows are semantically ABSENT so they take the
             # unmatched branch — both guarded by the cross-batch LWW version
@@ -758,8 +889,8 @@ class LakeTable:
             # stale replay and is ignored (the reference's "binlog幂等"
             # idempotence, mysql_handler.go:107-119, made explicit).
             t_pref = target.select(
-                key_col,
-                *[F.col(c).alias(f"_t_{c}") for c in payload if c != key_col],
+                *keys,
+                *[F.col(c).alias(f"_t_{c}") for c in payload if c not in keys],
                 F.col(_VER).alias("_t_ver"),
                 F.col(_OP).alias("_t_op"),
             )
@@ -770,7 +901,7 @@ class LakeTable:
             use_u = ~live & (F.col("u_action") == "set") & applies
             takes_change = use_m | use_u
             obs_matched = Observation("merge-matched")
-            mjoin = t_pref.join(s_matched, key_col, "inner").observe(
+            mjoin = t_pref.join(s_matched, keys, "inner").observe(
                 obs_matched,
                 F.sum(F.when(becomes_tombstone, 1).otherwise(0)).alias("dropped"),
                 F.sum(
@@ -787,8 +918,8 @@ class LakeTable:
 
             resolved = mjoin.select(
                 *[
-                    F.col(key_col)
-                    if c == key_col
+                    F.col(c)
+                    if c in keys
                     else F.when(takes_change, change_val(c))
                     .when(becomes_tombstone, F.lit(None).cast(schema[c].dataType))
                     .otherwise(F.col(f"_t_{c}"))
@@ -807,18 +938,18 @@ class LakeTable:
             # the key column of the affected-bucket files (column pruning)
             # and its result is at most |net| rows, so it broadcasts into the
             # anti join against the change set.
-            matched_keys = target.join(s_keys, key_col, "left_semi").select(key_col)
+            matched_keys = target.join(s_keys, keys, "left_semi").select(*keys)
             if small:
                 matched_keys = F.broadcast(matched_keys)
-            unmatched = net.join(matched_keys, key_col, "left_anti")
+            unmatched = net.join(matched_keys, keys, "left_anti")
             new_rows = unmatched.filter(F.col("u_action") == "set").select(
                 *from_struct("u_val"), F.col(_VER), F.lit("set").alias(_OP)
             )
             # deletes for never-seen keys leave a tombstone (as the MOR path
             # does) so a stale replayed insert below their version still loses
             null_payload = [
-                F.col(key_col)
-                if f.name == key_col
+                F.col(f.name)
+                if f.name in keys
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields
             ]
@@ -854,30 +985,55 @@ class LakeTable:
             new_files = self._write_bucket_files(out, version, "s")
             got = _safe_obs(obs, {"rows_out": 0, "kept": 0, "resolved": 0, "new": 0})
 
-            files = _copy_files(manifest["files"])
-            for b in affected:
-                files[str(b)] = {"base": [], "delta": []}
-            for b, paths in new_files.items():
-                files.setdefault(b, {"base": [], "delta": []})
-                files[b] = {"base": paths, "delta": []}
+            # COW REPLACES the affected buckets' files, so it only commutes
+            # with commits to OTHER buckets. Rebase over those; if a
+            # concurrent commit touched an affected bucket (new delta, new
+            # base file, compaction, another COW), this writer's output is
+            # stale → ConcurrentWriteRetry → merge() recomputes from the
+            # fresh snapshot.
+            snap_files = manifest["files"]
 
-            apps = dict(manifest["apps"])
-            if batch_id is not None:
-                apps[app_id] = {**apps.get(app_id, {}), "last_batch_id": batch_id, **(app_state or {})}
+            def build(m: dict) -> dict | None:
+                if batch_id is not None:
+                    last = (m["apps"].get(app_id) or {}).get("last_batch_id")
+                    if last is not None and batch_id <= int(last):
+                        return None  # concurrent writer of this app applied it
+                if m["version"] != manifest["version"]:
+                    for b in affected:
+                        if m["files"].get(str(b)) != snap_files.get(str(b)):
+                            raise ConcurrentWriteRetry(
+                                f"bucket {b} changed under COW merge"
+                            )
+                files = _copy_files(m["files"])
+                for b in affected:
+                    files[str(b)] = {"base": [], "delta": []}
+                for b, paths in new_files.items():
+                    files[b] = {"base": paths, "delta": []}
+                apps = dict(m["apps"])
+                if batch_id is not None:
+                    apps[app_id] = {
+                        **apps.get(app_id, {}),
+                        "last_batch_id": batch_id,
+                        **(app_state or {}),
+                    }
+                return {
+                    "schema": _union_schema(
+                        T.StructType.fromJson(m["schema"]), schema
+                    ).jsonValue(),
+                    "files": files,
+                    "apps": apps,
+                    "summary": {
+                        "operation": "merge-cow",
+                        "net_rows": net_rows,
+                        "affected_buckets": affected,
+                        "rows_out": got["rows_out"],
+                        **(extra_summary or {}),
+                    },
+                }
 
-            child = self._commit_child(
-                manifest,
-                schema=schema.jsonValue(),
-                files=files,
-                apps=apps,
-                summary={
-                    "operation": "merge-cow",
-                    "net_rows": net_rows,
-                    "affected_buckets": affected,
-                    "rows_out": got["rows_out"],
-                    **(extra_summary or {}),
-                },
-            )
+            child = self._commit_with_rebase(build, manifest)
+            if child is None:
+                return MergeResult(committed=False, version=None, batch_id=batch_id)
             got_m = _safe_obs(obs_matched, {"dropped": 0, "kept_as_is": 0})
             deletes_applied = int(got_m.get("dropped") or 0)
             kept_as_is = int(got_m.get("kept_as_is") or 0)
@@ -899,25 +1055,38 @@ class LakeTable:
             net.unpersist()
 
 
-def _resolve(raw: DataFrame, dschema: T.StructType, key_col: str) -> DataFrame:
+def _resolve(raw: DataFrame, dschema: T.StructType, keys: list[str]) -> DataFrame:
     """Merge-on-read resolution: LWW winner per key by ``_ver`` over
     base ∪ delta rows. Tombstone winners are RETAINED (callers filter) —
     dropping them would let a stale replayed change resurrect a deleted key.
     Single aggregation with map-side partial combine — skew-immune."""
     op = F.coalesce(F.col(_OP), F.lit("set"))
-    val_cols = [f.name for f in dschema.fields if f.name not in (key_col, _VER, _OP)]
-    win = raw.groupBy(key_col).agg(
+    val_cols = [f.name for f in dschema.fields if f.name not in (*keys, _VER, _OP)]
+    win = raw.groupBy(*keys).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in val_cols], op.alias(_OP)), F.col(_VER)
         ).alias("_w"),
         F.max(F.col(_VER)).alias(_VER),
     )
     return win.select(
-        F.col(key_col),
+        *[F.col(k) for k in keys],
         *[F.col(f"_w.{c}").alias(c) for c in val_cols],
         F.col(_VER),
         F.col(f"_w.{_OP}").alias(_OP),
     )
+
+
+def _union_schema(base: T.StructType, extra) -> T.StructType:
+    """``base`` + any fields of ``extra`` it lacks (nullable). Add-column
+    evolution is the only schema change, so unioning field lists rebases a
+    commit's schema over a concurrent writer's evolution."""
+    names = {f.name for f in base.fields}
+    out = base
+    fields = extra.fields if isinstance(extra, T.StructType) else extra
+    for f in fields:
+        if f.name not in names:
+            out = out.add(T.StructField(f.name, f.dataType, True))
+    return out
 
 
 def _copy_files(files: dict) -> dict:

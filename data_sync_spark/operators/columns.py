@@ -21,16 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_sync_spark.schema import KEY_COL, META_COLS
+from data_sync_spark.schema import KEY_COL, META_COLS, as_key_cols
 
 
 PROTECTED = {KEY_COL, *META_COLS}
+
+
+def _protected(key_cols) -> set[str]:
+    return {*as_key_cols(key_cols), *META_COLS}
 
 
 def column_filter(
     df: DataFrame,
     filter_cols: dict[str, list[str]],
     source_col: str = "source",
+    key_cols=KEY_COL,
 ) -> DataFrame:
     """``filter_cols``: per-source list of payload columns to null out.
 
@@ -39,10 +44,11 @@ def column_filter(
     """
     if not filter_cols:
         return df
+    protected = _protected(key_cols)
     out_cols = []
     for c in df.columns:
         sources = [s for s, cols in filter_cols.items() if c in cols]
-        if c in PROTECTED or not sources:
+        if c in protected or not sources:
             out_cols.append(F.col(c))
         else:
             out_cols.append(
@@ -57,6 +63,7 @@ def schema_conform(
     df: DataFrame,
     target_schema: T.StructType,
     evolve: bool = False,
+    key_cols=KEY_COL,
 ) -> DataFrame:
     """Align event payload columns with the target table schema.
 
@@ -67,16 +74,17 @@ def schema_conform(
     ``ADD COLUMN`` them, see ``LakeTable.merge(auto_evolve=True)``).
     """
     target_cols = {f.name for f in target_schema.fields}
+    protected = _protected(key_cols)
     keep = [
         c
         for c in df.columns
-        if c in target_cols or c in PROTECTED or c == "_upsert" or evolve
+        if c in target_cols or c in protected or c == "_upsert" or evolve
     ]
     out = df.select(*keep)
     missing = [
         f
         for f in target_schema.fields
-        if f.name not in out.columns and f.name not in PROTECTED
+        if f.name not in out.columns and f.name not in protected
     ]
     for f in missing:
         out = out.withColumn(f.name, F.lit(None).cast(f.dataType))

@@ -30,11 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_sync_spark.schema import KEY_COL
+from data_sync_spark.schema import KEY_COL, as_key_cols
 
 
-def _value_cols(df: DataFrame, key_col: str, order_cols: tuple[str, str]) -> list[str]:
-    drop = {key_col, *order_cols}
+def _value_cols(df: DataFrame, keys: list[str], order_cols: tuple[str, str]) -> list[str]:
+    drop = {*keys, *order_cols}
     return [c for c in df.columns if c not in drop]
 
 
@@ -48,15 +48,16 @@ def lww_collapse(
     ``max_by`` over a struct ordering key → single hash-agg with map-side
     combine; returns all original columns.
     """
-    vals = _value_cols(df, key_col, order_cols)
+    keys = as_key_cols(key_col)
+    vals = _value_cols(df, keys, order_cols)
     ord_key = F.struct(*[F.col(c) for c in order_cols])
     agg = [
         F.max_by(F.struct(*[F.col(c) for c in vals]), ord_key).alias("_win"),
         F.max(ord_key).alias("_ord"),
     ]
-    out = df.groupBy(key_col).agg(*agg)
+    out = df.groupBy(*keys).agg(*agg)
     return out.select(
-        F.col(key_col),
+        *[F.col(k) for k in keys],
         *[F.col(f"_ord.{c}").alias(c) for c in order_cols],
         *[F.col(f"_win.{c}").alias(c) for c in vals],
     )
@@ -76,24 +77,25 @@ def lww_collapse_salted(
     is unaffected). Phase 1's shuffle spreads a hot key over ``n_salts``
     reducers; phase 2 sees ≤ ``n_salts`` rows per key.
     """
-    vals = _value_cols(df, key_col, order_cols)
+    keys = as_key_cols(key_col)
+    vals = _value_cols(df, keys, order_cols)
     ord_key = F.struct(*[F.col(c) for c in order_cols])
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
     phase1 = (
         df.withColumn("_salt", salt)
-        .groupBy(key_col, "_salt")
+        .groupBy(*keys, "_salt")
         .agg(
             F.max_by(F.struct(*[F.col(c) for c in vals]), ord_key).alias("_win"),
             F.max(ord_key).alias("_ord"),
         )
     )
     ord2 = F.col("_ord")
-    phase2 = phase1.groupBy(key_col).agg(
+    phase2 = phase1.groupBy(*keys).agg(
         F.max_by(F.col("_win"), ord2).alias("_win"),
         F.max(ord2).alias("_ord"),
     )
     return phase2.select(
-        F.col(key_col),
+        *[F.col(k) for k in keys],
         *[F.col(f"_ord.{c}").alias(c) for c in order_cols],
         *[F.col(f"_win.{c}").alias(c) for c in vals],
     )
@@ -148,6 +150,7 @@ def net_effect(
     mixed/append configs = 2 shuffles on the same key (the post-``ld``
     aggregation joins back on the key, so Catalyst reuses the exchange).
     """
+    keys = as_key_cols(key_col)
     ord_key = F.struct(*[F.col(c) for c in order_cols])
     val = F.struct(*[F.col(c) for c in payload_cols])
 
@@ -166,17 +169,17 @@ def net_effect(
         F.max_by(F.col(upsert_col), ord_key).alias("_ups"),
         F.max(F.when(is_del, ord_key)).alias("_ld"),
     ]
-    a = df.groupBy(key_col).agg(*winner_agg)
+    a = df.groupBy(*keys).agg(*winner_agg)
 
     if all_upsert:
         combined = a.withColumn("_fi", F.lit(None)).withColumn("_lu", F.lit(None))
-        return _net_select(combined, key_col, order_cols, all_upsert=True)
+        return _net_select(combined, keys, order_cols, all_upsert=True)
 
     # Post-last-delete aggregates: join the per-key ld back (same key ⇒ the
     # subsequent groupBy reuses the join's hash partitioning, no new shuffle).
-    ev = df.join(a.select(key_col, "_ld"), key_col, "left")
+    ev = df.join(a.select(*keys, "_ld"), keys, "left")
     post = F.col("_ld").isNull() | (ord_key > F.col("_ld"))
-    b = ev.groupBy(key_col).agg(
+    b = ev.groupBy(*keys).agg(
         F.min_by(
             F.struct(ord_key.alias("o"), val.alias("v")),
             F.when(is_ins & post, ord_key),
@@ -191,17 +194,17 @@ def net_effect(
     # min_by/max_by with a null ordering key still return a row's value when
     # no row qualifies on some engines; gate on the has-flags instead.
     b = b.select(
-        key_col,
+        *keys,
         F.when(F.col("_has_fi") == 1, F.col("_fi_raw")).alias("_fi"),
         F.when(F.col("_has_lu") == 1, F.col("_lu_raw")).alias("_lu"),
     )
-    combined = a.join(b, key_col)
-    return _net_select(combined, key_col, order_cols, all_upsert=False)
+    combined = a.join(b, keys)
+    return _net_select(combined, keys, order_cols, all_upsert=False)
 
 
 def _net_select(
     combined: DataFrame,
-    key_col: str,
+    keys: list[str],
     order_cols: tuple[str, str],
     all_upsert: bool,
 ) -> DataFrame:
@@ -244,7 +247,7 @@ def _net_select(
         u_val = F.when(F.col("_ups"), w_val).otherwise(best)
 
     return combined.select(
-        F.col(key_col),
+        *[F.col(k) for k in keys],
         *[F.col(f"_ord.{c}").alias(c) for c in order_cols],
         m_action.alias("m_action"),
         u_action.alias("u_action"),
@@ -259,7 +262,7 @@ def lww_collapse_window(
     order_cols: tuple[str, str] = ("log_offset", "seq"),
 ) -> DataFrame:
     """Spec implementation: row_number over (key, order desc) = 1."""
-    w = Window.partitionBy(key_col).orderBy(
+    w = Window.partitionBy(*as_key_cols(key_col)).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
     return (

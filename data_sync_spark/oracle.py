@@ -43,11 +43,15 @@ def replay(
     events: pd.DataFrame,
     cfg: PipelineConfig | None = None,
     target_cols: list[str] | None = None,
-) -> dict[str, dict[str, Any]]:
-    """Serial replay → {doc_id: row dict}. ``events`` columns: op, doc_id,
-    log_offset, seq + payload. Exact duplicate deliveries of an event are
-    naturally idempotent for upsert/update/delete and are dropped for plain
-    insert — identical to replaying the reference's at-least-once feed."""
+    key_cols: tuple[str, ...] = ("doc_id",),
+) -> dict[tuple, dict[str, Any]]:
+    """Serial replay → {key tuple: row dict}. ``events`` columns: op,
+    key column(s), log_offset, seq + payload. Composite keys are tuples
+    (reference MQ path zips multi-column pks,
+    ``mysql_filter_service.go:90-93``). Exact duplicate deliveries of an
+    event are naturally idempotent for upsert/update/delete and are dropped
+    for plain insert — identical to replaying the reference's at-least-once
+    feed."""
     cfg = cfg or PipelineConfig()
     payload_cols = [
         c for c in events.columns if c not in ("op", "log_offset", "seq")
@@ -55,16 +59,16 @@ def replay(
     if target_cols is not None:
         payload_cols = [c for c in payload_cols if c in target_cols]
 
-    state: dict[str, dict[str, Any]] = {}
+    state: dict[tuple, dict[str, Any]] = {}
     ordered = events.sort_values(["log_offset", "seq"], kind="stable")
     for row in ordered.itertuples(index=False):
         d = row._asdict()
         source = d.get("source")
         if not _route_keep(cfg, source):
             continue
-        key = d["doc_id"]
+        key = tuple(d[k] for k in key_cols)
         op = d["op"]
-        filtered = set(cfg.filter_cols.get(source, [])) - {"doc_id"}
+        filtered = set(cfg.filter_cols.get(source, [])) - set(key_cols)
         payload = {}
         for c in payload_cols:
             payload[c] = None if c in filtered else d.get(c)
@@ -88,11 +92,12 @@ def replay_to_pandas(
     events: pd.DataFrame,
     cfg: PipelineConfig | None = None,
     target_cols: list[str] | None = None,
+    key_cols: tuple[str, ...] = ("doc_id",),
 ) -> pd.DataFrame:
-    state = replay(events, cfg, target_cols)
+    state = replay(events, cfg, target_cols, key_cols=key_cols)
     cols = target_cols
     if cols is None:
         cols = [c for c in events.columns if c not in ("op", "log_offset", "seq")]
-    rows = [{"doc_id": k, **v} for k, v in state.items()]
-    df = pd.DataFrame(rows, columns=list(dict.fromkeys(["doc_id", *cols])))
-    return df.sort_values("doc_id").reset_index(drop=True)
+    rows = [{**dict(zip(key_cols, k)), **v} for k, v in state.items()]
+    df = pd.DataFrame(rows, columns=list(dict.fromkeys([*key_cols, *cols])))
+    return df.sort_values(list(key_cols)).reset_index(drop=True)

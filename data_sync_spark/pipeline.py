@@ -21,7 +21,7 @@ from data_sync_spark.operators.columns import column_filter, schema_conform
 from data_sync_spark.operators.dedup import net_effect
 from data_sync_spark.operators.route import route_filter
 from data_sync_spark.operators.transforms import get_transform
-from data_sync_spark.schema import META_COLS
+from data_sync_spark.schema import KEY_COL, META_COLS, as_key_cols
 
 
 def upsert_flag_expr(cfg: PipelineConfig, source_col: str = "source"):
@@ -34,25 +34,29 @@ def upsert_flag_expr(cfg: PipelineConfig, source_col: str = "source"):
     return expr
 
 
-def valid_event_pred():
-    """Well-formed event predicate. Malformed events (no key, unknown op,
-    null ordering key — e.g. a Maxwell position that failed to parse) are
-    quarantined, never allowed into LWW dedup where a null ordering key
-    would make the winner nondeterministic. The reference retries 3× then
-    skips poisoned events (mysql_handler.go:107-119); ``apply_batch`` counts
-    rows failing this predicate as ``quarantined`` in the batch lineage."""
-    return (
-        F.col("doc_id").isNotNull()
-        & F.col("log_offset").isNotNull()
+def valid_event_pred(key_cols=KEY_COL):
+    """Well-formed event predicate. Malformed events (null key column,
+    unknown op, null ordering key — e.g. a Maxwell position that failed to
+    parse) are quarantined, never allowed into LWW dedup where a null
+    ordering key would make the winner nondeterministic. The reference
+    retries 3× then skips poisoned events (mysql_handler.go:107-119);
+    ``apply_batch`` counts rows failing this predicate as ``quarantined``
+    in the batch lineage."""
+    pred = (
+        F.col("log_offset").isNotNull()
         & F.col("seq").isNotNull()
         & F.col("op").isin("insert", "update", "delete")
     )
+    for k in as_key_cols(key_cols):
+        pred = pred & F.col(k).isNotNull()
+    return pred
 
 
 def prepare_events(
     events: DataFrame,
     cfg: PipelineConfig,
     target_schema: T.StructType,
+    key_cols=KEY_COL,
 ) -> DataFrame:
     """Guard → route → upsert-flag → column-filter → custom transform →
     schema-conform. Returns the filtered event stream (still multi-event per
@@ -63,12 +67,13 @@ def prepare_events(
     column for the target row image, but mode resolution must still see the
     original value (the reference resolves IsUpsert from the table name
     before any column filtering, ``regular_base.go:44-49``)."""
-    df = events.filter(valid_event_pred())
+    keys = as_key_cols(key_cols)
+    df = events.filter(valid_event_pred(keys))
     df = route_filter(df, cfg.data_mode, cfg.include_sources, cfg.exclude_sources)
     df = df.withColumn("_upsert", upsert_flag_expr(cfg))
-    df = column_filter(df, cfg.filter_cols)
+    df = column_filter(df, cfg.filter_cols, key_cols=keys)
     df = get_transform(cfg.transform)(df)
-    df = schema_conform(df, target_schema, evolve=cfg.evolve_schema)
+    df = schema_conform(df, target_schema, evolve=cfg.evolve_schema, key_cols=keys)
     return df
 
 
@@ -82,15 +87,18 @@ def net_changes(
     events: DataFrame,
     cfg: PipelineConfig,
     target_schema: T.StructType,
+    key_cols=KEY_COL,
 ) -> DataFrame:
     """Full pipeline: prepared events → net-effect collapse. Output: one row
     per doc_id in the encoding ``LakeTable.merge`` consumes
     (m_action/u_action + branch row images)."""
-    df = prepare_events(events, cfg, target_schema)
+    df = prepare_events(events, cfg, target_schema, key_cols=key_cols)
     if "_upsert" not in df.columns:
         raise ValueError(
             "transform dropped the internal _upsert column; custom "
             "transforms must preserve internal (_-prefixed) columns"
         )
     payload_cols = [c for c in df.columns if c not in (*META_COLS, "_upsert")]
-    return net_effect(df, payload_cols, all_upsert=all_upsert(cfg))
+    return net_effect(
+        df, payload_cols, key_col=as_key_cols(key_cols), all_upsert=all_upsert(cfg)
+    )

@@ -23,6 +23,16 @@ KEY_COL = "doc_id"
 ORDER_COLS = ("log_offset", "seq")
 META_COLS = ("op", "log_offset", "seq")
 
+
+def as_key_cols(key) -> list[str]:
+    """Normalize a primary-key spec to a column list. The reference MQ path
+    supports composite pks (zip of N key columns,
+    ``/root/reference/src/service/mysql_filter_service.go:90-93``); every
+    key-aware operator here takes a str or a list and works on the list."""
+    if isinstance(key, str):
+        return [key]
+    return list(key)
+
 # The sink table (analog of the replicated MySQL table).
 TARGET_FIELDS = [
     T.StructField("doc_id", T.StringType(), False),

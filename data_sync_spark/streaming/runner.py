@@ -91,17 +91,18 @@ def apply_batch(
             sink.emit(record)
         return record
 
+    key_cols = table.key_cols
     obs = Observation(f"lineage-{app_id}-{batch_id}")
     batch_df = batch_df.observe(
         obs,
         F.count(F.lit(1)).alias("events"),
         F.min("log_offset").alias("offset_min"),
         F.max("log_offset").alias("offset_max"),
-        F.sum(F.when(valid_event_pred(), 0).otherwise(1)).alias("quarantined"),
+        F.sum(F.when(valid_event_pred(key_cols), 0).otherwise(1)).alias("quarantined"),
     )
     # no persist: the batch source (parquet chunk / generator range) is
     # cheaper to recompute than to cache, and the MOR merge is single-pass
-    net = net_changes(batch_df, cfg, table.schema)
+    net = net_changes(batch_df, cfg, table.schema, key_cols=key_cols)
     result = table.merge(
         net,
         app_id=app_id,

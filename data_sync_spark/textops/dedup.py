@@ -18,14 +18,36 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# MinHash permutation field: the Mersenne prime 2^31 - 1. Base hashes and
+# permutation products stay under 2^62, so ANSI-mode 64-bit arithmetic can
+# never overflow ((2^31)^2 + 2^31 < 2^63).
+MINHASH_PRIME = 2147483647
 
 
 def _h(col_expr: str, salt: int | str = "") -> str:
     """Portable 32-bit hash SQL (Spark dialect): int(md5(salt||s)[:8], 16)."""
     s = f"concat('{salt}', {col_expr})" if salt != "" else col_expr
     return f"CAST(conv(substr(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_i, b_i) for k MinHash
+    functions: mh_i(h) = (a_i*h + b_i) mod P. Driver-side literals — the
+    per-row cost is one md5 per shingle TOTAL (the base hash), not per
+    permutation. The DuckDB oracle embeds the same constants
+    (``__spark_entry__``)."""
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (h32(f"mh-a:{i}") % (MINHASH_PRIME - 1) + 1, h32(f"mh-b:{i}") % MINHASH_PRIME)
+        for i in range(k)
+    ]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,20 +87,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash values per document over word n-gram shingles.
 
-    minhash_i(doc) = min over shingles of H(i || shingle). All per-row array
-    math — zero shuffle."""
-    sh, _ = shingles_expr(text_col, shingle_n)
-    out = df.withColumn("_sh", sh)
-    for i in range(k):
-        out = out.withColumn(
-            f"mh_{i}",
-            F.expr(
-                "array_min(transform(_sh, s -> "
-                + _h("s", salt=f"mh{i}:")
-                + "))"
-            ),
-        )
-    return out.select(id_col, *[f"mh_{i}" for i in range(k)])
+    Shingle base hash = polynomial composition of per-WORD hashes
+    (``((H(w_i)*31 + H(w_i+1))*31 + ...) mod P``): one md5 per word — no
+    per-shingle string building, no per-shingle md5. minhash_i = min over
+    shingles of the affine permutation ``(a_i*base + b_i) mod P``
+    (driver-side constants). All per-row array math — zero shuffle. Word
+    hashes live in their own projection so CollapseProject keeps them
+    computed once (an expensive alias referenced k times is not inlined).
+    Documents shorter than ``shingle_n`` words fall back to one whole-text
+    hash. The DuckDB oracle replicates the arithmetic bit-for-bit."""
+    wh = df.withColumn(
+        "_wh",
+        F.expr(
+            f"transform(split({text_col}, ' '), w -> "
+            + _h("w")
+            + f" % {MINHASH_PRIME}L)"
+        ),
+    )
+    poly = "element_at(_wh, i)"
+    for j in range(1, shingle_n):
+        poly = f"({poly} * 31L + element_at(_wh, i + {j}))"
+    base = wh.withColumn(
+        "_hs",
+        F.expr(
+            f"""CASE WHEN size(_wh) < {shingle_n}
+                 THEN array({_h(text_col)} % {MINHASH_PRIME}L)
+                 ELSE transform(sequence(1, size(_wh) - {shingle_n - 1}),
+                                i -> ({poly}) % {MINHASH_PRIME}L)
+            END"""
+        ),
+    )
+    params = minhash_params(k)
+    mh_cols = [
+        F.expr(
+            f"array_min(transform(_hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return base.select(id_col, *mh_cols)
 
 
 def minhash_lsh_pairs(
@@ -96,25 +142,40 @@ def minhash_lsh_pairs(
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
     mh_cols = [f"mh_{i}" for i in range(k)]
-    # persist: the banded union + self-join would otherwise recompute the
-    # signature scan (k md5s per shingle) once per band per join side
-    sig = sig.withColumn("_sig", F.array(*[F.col(c) for c in mh_cols])).persist()
-    # band hash = H over the concatenated band slice
-    band_rows = []
+    sig = sig.withColumn("_sig", F.array(*[F.col(c) for c in mh_cols]))
+    # One scan, bands exploded per row (NOT a union of per-band selects,
+    # which would recompute signatures once per band), and no persist: the
+    # self-join below shuffles the SAME banded plan on both sides, so the
+    # exchange is computed once and reused (ReusedExchange) — signatures are
+    # evaluated exactly once per document.
+    band_structs = []
     for b in range(bands):
         cols = mh_cols[b * rows : (b + 1) * rows]
         band_hash = F.md5(F.concat_ws(",", *[F.col(c) for c in cols]))
-        band_rows.append(
-            sig.select(
-                F.col(id_col), F.col("_sig"), F.lit(b).alias("band"), band_hash.alias("bh")
-            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), band_hash.alias("bh"))
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("_sig"),
+        F.explode(F.array(*band_structs)).alias("_b"),
+    ).select(id_col, "_sig", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    # shuffle-hash join (not broadcast): both sides shuffle the SAME child
+    # plan on the bucket key, so the exchange is computed once and reused —
+    # signatures are evaluated once per document, and the plan scales to
+    # corpora far beyond broadcast size.
+    banded = banded.hint("shuffle_hash")
     a = banded.alias("a")
     b2 = banded.alias("b")
-    pairs = (
+    est = F.expr(
+        f"size(filter(zip_with(a._sig, b._sig, (x, y) -> x = y), v -> v)) / {k}"
+    ).cast("double")
+    # est_jaccard is a function of the two signatures alone, so it is
+    # IDENTICAL for every band a pair collides in: compute it in the join
+    # projection and filter BEFORE the dedup, so the dropDuplicates shuffle
+    # carries only scalars (hash aggregate) instead of signature arrays
+    # (sort aggregate) — and fewer rows.
+    return (
         a.join(
             b2,
             (F.col("a.band") == F.col("b.band"))
@@ -124,18 +185,10 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.expr(
-        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {k}"
-    ).cast("double")
-    return (
-        pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -146,18 +199,21 @@ def simhash(
     bits: int = 32,
 ) -> DataFrame:
     """SimHash over words: bit j of the signature is the sign of
-    sum over words of (2 * bit_j(H(word)) - 1). Pure array expressions."""
+    sum over words of (2 * bit_j(H(word)) - 1). Pure array expressions —
+    ONE pass over the word-hash array accumulating all per-bit sums (not a
+    pass per bit)."""
     wh = "transform(split({t}, ' '), w -> {h})".format(t=text_col, h=_h("w"))
     out = df.withColumn("_wh", F.expr(wh))
-    bit_terms = []
-    for j in range(bits):
-        # bit j of each word hash → ±1 → sum → sign
-        bit_terms.append(
-            f"CASE WHEN aggregate(_wh, 0L, (acc, h) -> acc + "
-            f"(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END)) > 0 "
-            f"THEN CAST({1 << j} AS BIGINT) ELSE 0L END"
-        )
-    sig = " + ".join(bit_terms)
+    sums = (
+        f"aggregate(_wh, array_repeat(0L, {bits}), (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), (a, j) -> "
+        f"a + (CASE WHEN (h & shiftleft(1L, j)) > 0 THEN 1L ELSE -1L END)))"
+    )
+    sig = (
+        f"aggregate(zip_with({sums}, sequence(0, {bits - 1}), "
+        f"(s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END), "
+        f"0L, (a, b) -> a + b)"
+    )
     return out.select(id_col, F.expr(sig).alias("simhash"))
 
 
@@ -172,24 +228,29 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: block the signature into ``blocks`` chunks
     (pigeonhole: pairs within ``max_hamming ≤ blocks - 1`` share ≥1 exact
     block), join on (block_id, block_value), verify Hamming distance."""
-    sig = simhash(df, text_col, id_col, bits=bits).persist()
+    sig = simhash(df, text_col, id_col, bits=bits)
     width = bits // blocks
-    parts = []
-    for b in range(blocks):
-        block_val = F.expr(
-            f"(simhash >> {b * width}) & {(1 << width) - 1}"
+    # blocks exploded per row from one scan; the self-join reuses the
+    # shuffle exchange (same child plan on both sides) — no persist needed
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("bv"),
         )
-        parts.append(
-            sig.select(
-                F.col(id_col), F.col("simhash"),
-                F.lit(b).alias("blk"), block_val.alias("bv"),
-            )
-        )
-    blocked = parts[0]
-    for p in parts[1:]:
-        blocked = blocked.unionByName(p)
+        for b in range(blocks)
+    ]
+    blocked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("_b")
+    ).select(id_col, "simhash", F.col("_b.blk").alias("blk"), F.col("_b.bv").alias("bv"))
+    # shuffle-hash join (not broadcast): both sides shuffle the SAME child
+    # plan on the bucket key, so the exchange is computed once and reused —
+    # signatures are evaluated once per document, and the plan scales to
+    # corpora far beyond broadcast size.
+    blocked = blocked.hint("shuffle_hash")
     a, b2 = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    # hamming depends only on the two signatures → identical per colliding
+    # block: verify-then-dedup (scalar shuffle, fewer rows)
+    return (
         a.join(
             b2,
             (F.col("a.blk") == F.col("b.blk"))
@@ -199,16 +260,10 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

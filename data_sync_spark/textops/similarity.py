@@ -168,19 +168,31 @@ def embedding_near_pairs(
         sigs = sigs.withColumn(
             f"_sig_{t}", hyperplane_sig_expr(vec_col, bits, seed=7 + t, dims=dims)
         )
-    sigs = sigs.persist()
-    parts = []
-    for t in range(tables):
-        parts.append(
-            sigs.select(
-                F.col(id_col), F.col(vec_col), F.lit(t).alias("tbl"),
-                F.col(f"_sig_{t}").alias("sig"),
+    # one scan, tables exploded per row (no persist: the self-join shuffles
+    # the same child plan on both sides); cosine is verified in the join
+    # projection so the dedup shuffle carries scalars, not 64-dim vectors
+    blocked = sigs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_sig_{t}").alias("sig")
+                    )
+                    for t in range(tables)
+                ]
             )
-        )
-    blocked = parts[0]
-    for p in parts[1:]:
-        blocked = blocked.unionByName(p)
+        ).alias("_b"),
+    ).select(
+        id_col, vec_col, F.col("_b.tbl").alias("tbl"), F.col("_b.sig").alias("sig")
+    )
+    # shuffle-hash join: same-child exchange reused, signatures once/vector
+    blocked = blocked.hint("shuffle_hash")
     a, b = blocked.alias("a"), blocked.alias("b")
+    # dedup BEFORE the exact-cosine verification: the 64-dim fold is the
+    # expensive step, so it must run once per unique pair, not once per
+    # colliding table (and not twice more via filter-pushdown duplication)
     cand = (
         a.join(
             b,
