@@ -98,9 +98,12 @@ def entry(spark: SparkSession) -> DataFrame:
                 mor=True,  # upsert-mode config → O(net) merge-on-read
             )
         out = table.read().withColumn("tokens", F.array_join(F.col("tokens").cast("array<string>"), ","))
-        # materialize before the temp dir is removed
-        pdf = out.toPandas()
-        return spark.createDataFrame(pdf, schema=out.schema)
+        # snapshot the result OUTSIDE the table's temp dir (executor-side
+        # parquet write, no driver toPandas round-trip) so it outlives the
+        # cleanup below; the driver collects from this stable copy
+        keep = tempfile.mkdtemp(prefix="dss-entry-out-")
+        out.write.mode("overwrite").parquet(os.path.join(keep, "result"))
+        return spark.read.parquet(os.path.join(keep, "result"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -451,8 +454,10 @@ def _q_emb_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic coarse centroids → inverted lists →
-    probe nearest lists → exact rerank — textops.similarity operator."""
+    """IVF ANN with a TRAINED coarse quantizer: deterministic Lloyd's
+    k-means (C=16, 2 iterations, oracle-replicable arithmetic) → inverted
+    lists (O(C) array argmin) → probe 4 nearest lists → exact rerank —
+    textops.similarity operator."""
     from pyspark.sql import functions as F
 
     from data_sync_spark.textops.similarity import ivf_topk
@@ -460,7 +465,45 @@ def _q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register(spark, sf_dir, names=("embeddings",))
     e = spark.table("embeddings")
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return ivf_topk(e, q, k=10, n_centroids=4, nprobe=2)
+    return ivf_topk(e, q, k=10, n_centroids=16, nprobe=4, iters=2)
+
+
+# Portable synthetic media table derived from documents: payload = the
+# UTF-8 text bytes (opaque blob to the pipeline), kind/duration from doc_id
+# arithmetic — identical rows in Spark SQL and DuckDB.
+MEDIA_SQL = """
+SELECT 'm-' || lpad(CAST(doc_id AS STRING), 6, '0')        AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END                               AS kind,
+       CAST(text AS BINARY)                                AS payload,
+       'application/octet-stream'                          AS mime,
+       CAST(64 AS INT)                                     AS width,
+       CAST(64 AS INT)                                     AS height,
+       CAST((doc_id % 5000) + 500 AS INT)                  AS duration_ms
+FROM documents
+"""
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→feature-extract over opaque binary payloads via
+    Arrow-batched mapInPandas (textops.multimodal.extract_features — the
+    REAL plumbing; the codec is the documented deterministic fake, which the
+    DuckDB oracle replicates as md5 arithmetic over the same blob)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.multimodal import extract_features
+
+    _register(spark, sf_dir, names=("documents",))
+    media = spark.sql(MEDIA_SQL)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.array_join(F.col("feature").cast("array<string>"), ",").alias("feature_str"),
+        "decode_ok",
+    )
 
 
 def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "doc_ngram_jaccard": _q_doc_ngram_jaccard,
     "doc_winnow": _q_doc_winnow,
+    "media_features": _q_media_features,
     "emb_topk_cosine": _q_emb_topk_cosine,
     "emb_lsh_topk": _q_emb_lsh_topk,
     "emb_near_pairs": _q_emb_near_pairs,
@@ -668,6 +712,28 @@ ORACLES: dict[str, str] = {
                CAST(round(CAST(letters AS DOUBLE) / words, 4) AS DOUBLE) AS mean_word_len,
                CAST(round(CAST(the_cnt + a_cnt AS DOUBLE) / words, 4) AS DOUBLE) AS stopword_ratio
         FROM t
+    """,
+    # media payload = UTF-8 bytes of the (all-ASCII) document text, so
+    # DuckDB's VARCHAR md5/length over the char-substring equal the Python
+    # md5/len over the byte-slice in extract_features' mapInPandas codec
+    "media_features": """
+        WITH media AS (
+          SELECT 'm-' || lpad(CAST(doc_id AS STRING), 6, '0') AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END                        AS kind,
+                 text
+          FROM documents
+        )
+        SELECT media_id, kind,
+               CAST(length(text) AS INT) AS n_bytes,
+               array_to_string(
+                 list_transform(range(0, 8), d -> CAST(
+                   CAST(CAST(('0x' || substr(md5(substring(text, 1, 256) || ':' || d), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0
+                   AS VARCHAR)),
+                 ',') AS feature_str,
+               true AS decode_ok
+        FROM media
     """,
     "emb_topk_cosine": """
         SELECT e.vec_id, e.label,
@@ -990,33 +1056,68 @@ _DUCK_NORM = (
     "list_transform({v}, x -> x * x)), (x, y) -> x + y))"
 )
 
-_DUCK_IVF_SQL = f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-),
-c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-assign AS (
-  SELECT e.vec_id, e.v, c.cid,
-         {_DUCK_FOLD_D2.format(a='e.v', b='c.cv')} AS d
-  FROM e, c
-  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d ASC, c.cid ASC) = 1
-),
-probe AS (
-  SELECT c.cid FROM c, q
-  ORDER BY {_DUCK_FOLD_D2.format(a='q.qv', b='c.cv')} ASC, c.cid ASC
-  LIMIT 2
-),
-cand AS (
-  SELECT a.vec_id, a.v, q.qv FROM assign a JOIN probe USING (cid), q
-)
+def _duck_ivf_trained_sql(
+    n_centroids: int = 16, nprobe: int = 4, iters: int = 2, dims: int = 64, k: int = 10
+) -> str:
+    """Twin of similarity.ivf_topk: deterministic Lloyd's k-means (init =
+    n_centroids smallest ids, fixed iterations, centroids rounded to 6dp
+    each round — identical sequential fold arithmetic on both engines),
+    O(C) assignment, nprobe probing, exact cosine rerank."""
+    avg_cols = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dims))
+    d2 = _DUCK_FOLD_D2
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM e ORDER BY vec_id LIMIT {n_centroids}
+)""",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, e.v, c.cid
+  FROM e, c{it} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {d2.format(a='e.v', b='c.cv')} ASC, c.cid ASC) = 1
+)"""
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT cid, [{avg_cols}] AS cv FROM a{it} GROUP BY cid)"
+        )
+    final_c = f"c{iters}"
+    parts.append(
+        f"""afinal AS (
+  SELECT e.vec_id, e.v, c.cid
+  FROM e, {final_c} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {d2.format(a='e.v', b='c.cv')} ASC, c.cid ASC) = 1
+)"""
+    )
+    parts.append(
+        f"""probe AS (
+  SELECT c.cid FROM {final_c} c, q
+  ORDER BY {d2.format(a='q.qv', b='c.cv')} ASC, c.cid ASC
+  LIMIT {nprobe}
+)"""
+    )
+    parts.append(
+        "cand AS (SELECT a.vec_id, a.v, q.qv FROM afinal a JOIN probe USING (cid), q)"
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
 SELECT vec_id,
        round({_DUCK_FOLD_DOT.format(a='v', b='qv')} /
              ({_DUCK_NORM.format(v='v')} * {_DUCK_NORM.format(v='qv')}), 4) AS cos_sim
 FROM cand
 ORDER BY cos_sim DESC, vec_id ASC
-LIMIT 10
+LIMIT {k}
 """
+
+
+_DUCK_IVF_SQL = _duck_ivf_trained_sql(n_centroids=16, nprobe=4, iters=2)
 
 ORACLES.update(
     {

@@ -131,6 +131,25 @@ def cmd_verify(args) -> int:
     cfg = _load_cfg(args)
     table = LakeTable.load(spark, args.table)
     events = spark.read.schema(EVENT_SCHEMA).parquet(args.feed)
+    # The dict-replay oracle is driver-side BY DESIGN (it is the independent
+    # golden model) — guard the toPandas so a huge feed fails loudly instead
+    # of OOMing the driver. For feeds past the cap, verify a key-range slice
+    # per run or use inspector.inspect_all's distributed exceptAll audit.
+    n_events = events.count()
+    if n_events > args.max_oracle_events:
+        print(
+            json.dumps(
+                {
+                    "ok": False,
+                    "err": (
+                        f"feed has {n_events} events > --max-oracle-events "
+                        f"{args.max_oracle_events}; raise the cap explicitly or "
+                        "audit via inspector.inspect_all (distributed exceptAll)"
+                    ),
+                }
+            )
+        )
+        return 2
     expected_pdf = replay_to_pandas(
         events.toPandas(), cfg, target_cols=[f.name for f in table.schema.fields]
     )
@@ -208,6 +227,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--feed", required=True)
     v.add_argument("--table", required=True)
     v.add_argument("--config", default=None)
+    v.add_argument(
+        "--max-oracle-events",
+        type=int,
+        default=5_000_000,
+        help="driver-side oracle replay cap (the oracle is single-node by design)",
+    )
     v.set_defaults(fn=cmd_verify)
 
     m = sub.add_parser("maintain", help="compact dirty buckets + expire snapshots")

@@ -410,18 +410,21 @@ class LakeTable:
         rel_dir = os.path.join("data", f"{tag}{version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        # Hash-partition on the bucket id (NOT repartitionByRange — range
-        # partitioning samples its child, which would execute the expensive
-        # upstream net aggregation twice per batch) + in-partition sort so
-        # the dynamic-partition writer streams one file at a time instead of
-        # fanning out a writer per directory.
-        (
-            df.repartition(shuffle, F.col(_BUCKET))
-            .sortWithinPartitions(_BUCKET)
-            .write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        if getattr(self, "aligned_writes", False):
+            # Single-shuffle mode: reuse the upstream (net-agg) partitioning
+            # and only sort each task's rows by bucket so the dynamic-
+            # partition writer streams one file at a time. Saves the second
+            # exchange at the cost of ≤ shuffle-partitions files per bucket
+            # per batch (bounded by compaction).
+            out = df.sortWithinPartitions(_BUCKET)
+        else:
+            # Hash-partition on the bucket id (NOT repartitionByRange — range
+            # partitioning samples its child, which would execute the
+            # expensive upstream net aggregation twice per batch) +
+            # in-partition sort so the dynamic-partition writer streams one
+            # file at a time instead of fanning out a writer per directory.
+            out = df.repartition(shuffle, F.col(_BUCKET)).sortWithinPartitions(_BUCKET)
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(out_dir)
         files: dict[str, list[str]] = {}
         if not os.path.isdir(out_dir):
             return files
@@ -720,7 +723,10 @@ class LakeTable:
 
     # --------------------------------------------------------------- compact
     def compact(
-        self, buckets: list[int] | None = None, purge_tombstones: bool = False
+        self,
+        buckets: list[int] | None = None,
+        purge_tombstones: bool = False,
+        purge_before: int | None = None,
     ) -> list[int]:
         """Rewrite dirty buckets' base files from resolved base+delta state
         and clear their deltas (Iceberg/Hudi compaction).
@@ -728,15 +734,20 @@ class LakeTable:
         Delete tombstones are RETAINED by default so the cross-batch LWW
         guard survives compaction (a stale replayed insert for a deleted key
         must keep losing). ``purge_tombstones=True`` physically removes them
-        — only safe once no replay older than the deletes can still arrive
-        (e.g. past the source's retention horizon)."""
+        all — only safe once no replay older than the deletes can still
+        arrive. ``purge_before=<offset>`` is the age-based GC policy for a
+        forever-running table: only tombstones applied at or below the
+        horizon (e.g. the source's retention horizon, carried in app state)
+        are removed; newer tombstones keep guarding against replays that can
+        still arrive."""
         manifest = self.current()
         schema = T.StructType.fromJson(manifest["schema"])
         key_col = manifest.get("key_col", KEY_COL)
+        purging = purge_tombstones or purge_before is not None
         dirty = [
             int(b)
             for b, e in manifest["files"].items()
-            if (e.get("delta") or (purge_tombstones and e.get("base")))
+            if (e.get("delta") or (purging and e.get("base")))
             and (buckets is None or int(b) in buckets)
         ]
         if not dirty:
@@ -747,8 +758,17 @@ class LakeTable:
             buckets=dirty,
             version=manifest["version"],
             include_internal=True,
-            include_tombstones=not purge_tombstones,
-        ).withColumn(_BUCKET, bucket_expr(manifest["n_buckets"], key_col))
+            include_tombstones=True,
+        )
+        if purge_tombstones:
+            resolved = resolved.filter(F.col(_OP) != "drop")
+        elif purge_before is not None:
+            resolved = resolved.filter(
+                (F.col(_OP) != "drop") | (F.col(f"{_VER}.off") > purge_before)
+            )
+        resolved = resolved.withColumn(
+            _BUCKET, bucket_expr(manifest["n_buckets"], key_col)
+        )
         version = manifest["version"] + 1
         new_files = self._write_bucket_files(resolved, version, "c")
         snap_files = manifest["files"]
@@ -784,6 +804,49 @@ class LakeTable:
         return [] if child is None else sorted(compacted)
 
     # ----------------------------------------------------------- maintenance
+    def rescale(self, n_buckets: int) -> int:
+        """Rewrite the whole table into a new bucket count (``n_buckets`` is
+        fixed at create; a table that outgrows its layout gets a new one —
+        the Iceberg analog is REPLACE PARTITION FIELD + rewrite_data_files).
+        Full COW: every row (tombstones and versions included) is re-hashed
+        into the new layout in one distributed pass; state is preserved
+        exactly. Retries on concurrent commits (offline-maintenance
+        semantics: the rewrite is recomputed from the new snapshot)."""
+        for _attempt in range(8):
+            manifest = self.current()
+            if int(manifest["n_buckets"]) == n_buckets:
+                return manifest["version"]
+            key_col = manifest.get("key_col", KEY_COL)
+            rows = self.read(
+                version=manifest["version"],
+                include_internal=True,
+                include_tombstones=True,
+            ).withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
+            new_files = self._write_bucket_files(rows, manifest["version"] + 1, "r")
+
+            def build(m: dict) -> dict:
+                if m["version"] != manifest["version"]:
+                    raise ConcurrentWriteRetry("table changed during rescale")
+                return {
+                    "n_buckets": n_buckets,
+                    "files": {
+                        b: {"base": paths, "delta": []}
+                        for b, paths in new_files.items()
+                    },
+                    "summary": {
+                        "operation": "rescale",
+                        "from_buckets": m["n_buckets"],
+                        "to_buckets": n_buckets,
+                    },
+                }
+
+            try:
+                child = self._commit_with_rebase(build, manifest)
+                return child["version"]
+            except ConcurrentWriteRetry:
+                continue
+        raise CommitConflict(f"rescale starved after 8 recomputes at {self.path}")
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than the
         last ``keep_last`` versions and physically delete data files no kept

@@ -44,8 +44,11 @@ def replay(
     cfg: PipelineConfig | None = None,
     target_cols: list[str] | None = None,
     key_cols: tuple[str, ...] = ("doc_id",),
+    initial_state: dict[tuple, dict[str, Any]] | None = None,
 ) -> dict[tuple, dict[str, Any]]:
-    """Serial replay → {key tuple: row dict}. ``events`` columns: op,
+    """Serial replay → {key tuple: row dict}. ``initial_state`` seeds the
+    replay (e.g. to chain replays under different configs across a hot
+    config reload). ``events`` columns: op,
     key column(s), log_offset, seq + payload. Composite keys are tuples
     (reference MQ path zips multi-column pks,
     ``mysql_filter_service.go:90-93``). Exact duplicate deliveries of an
@@ -59,7 +62,7 @@ def replay(
     if target_cols is not None:
         payload_cols = [c for c in payload_cols if c in target_cols]
 
-    state: dict[tuple, dict[str, Any]] = {}
+    state: dict[tuple, dict[str, Any]] = dict(initial_state or {})
     ordered = events.sort_values(["log_offset", "seq"], kind="stable")
     for row in ordered.itertuples(index=False):
         d = row._asdict()

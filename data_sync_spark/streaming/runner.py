@@ -173,3 +173,30 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+def restart_with_config(
+    spark: SparkSession,
+    query,
+    feed_path: str,
+    table: LakeTable,
+    new_cfg: PipelineConfig,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Hot config reload (reference: the HTTP admin mutates strategy_mode
+    at runtime and rebuilds the handler chain,
+    ``/root/reference/src/server/http/server.go:129-158``, ``app.go:97-116``).
+
+    Spark-native equivalent: gracefully stop the running query and restart
+    from the SAME checkpoint with the new ``PipelineConfig``. The switchover
+    is batch-atomic — foreachBatch epochs are processed entirely under one
+    config, the exactly-once batch-id bookkeeping spans the restart, and no
+    event is lost or double-applied."""
+    if query is not None and query.isActive:
+        query.stop()
+        try:
+            query.awaitTermination(60)
+        except Exception:
+            pass
+    return run_stream(spark, feed_path, table, new_cfg, checkpoint_dir, **kwargs)

@@ -51,20 +51,22 @@ FEATURE_SCHEMA = T.StructType(
 def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | None:
     """Deterministic stand-in for decode→feature-extract. A real deployment
     replaces this with e.g. PIL.Image.open + a vision model preprocessor;
-    everything around it (batching, schema, partitioning) stays identical."""
+    everything around it (batching, schema, partitioning) stays identical.
+
+    feature[d] = (int(md5(payload[:256] || ':' || d)[:8], 16) % 1000)/1000 —
+    md5 over the raw byte prefix, so the DuckDB oracle replicates it
+    bit-for-bit over the same blob (``__spark_entry__`` media_features)."""
     if payload is None:
         return None
     if _HAS_CODECS:  # pragma: no cover
         raise NotImplementedError("real codecs are not available in this container")
-    acc = 2166136261
+    import hashlib
+
+    prefix = bytes(payload[:256])
     out = []
-    for i, byte in enumerate(payload[:256]):
-        acc = (acc ^ byte) * 16777619 % (1 << 32)
-        if i % (256 // dim + 1) == 0 and len(out) < dim:
-            out.append(round((acc % 1000) / 1000.0, 4))
-    while len(out) < dim:
-        acc = acc * 16777619 % (1 << 32)
-        out.append(round((acc % 1000) / 1000.0, 4))
+    for d in range(dim):
+        h = int(hashlib.md5(prefix + f":{d}".encode()).hexdigest()[:8], 16)
+        out.append(round((h % 1000) / 1000.0, 4))
     return out
 
 

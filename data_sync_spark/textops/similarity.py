@@ -87,63 +87,144 @@ def hyperplane_sig_expr(vec_col: str, bits: int, seed: int = 7, dims: int = 64):
     return sig.cast("int")
 
 
+def _dist2_to_literal(vec_col: str, cent: list[float]):
+    """Squared L2 distance of a vector column to a literal centroid — a
+    sequential JVM left fold, bit-identical to the DuckDB oracle's
+    list_reduce."""
+    arr = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _argmin_list_expr(centroids: list[list[float]], vec_col: str):
+    """0-based argmin over distances to each centroid via ONE distance array
+    + array_position(min) — O(C), not the O(C²) pairwise when-chain."""
+    dists = F.array(*[_dist2_to_literal(vec_col, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Trained coarse-quantizer centroids: Lloyd's k-means with a FIXED
+    deterministic recipe (init = the ``n_centroids`` smallest ids, ``iters``
+    assign/average rounds, centroids rounded to ``round_to`` decimals each
+    round) so the DuckDB oracle can replicate the training bit-for-bit in
+    SQL — which Spark ML's KMeans (random init, convergence-dependent) could
+    not. Per iteration: one corpus pass (distances to C literal centroids +
+    per-dim averages — a single hash aggregation); driver holds only C×dims
+    floats. Empty lists drop out (standard Lloyd's degeneracy handling)."""
+    cents = [
+        [round(float(x), round_to) for x in r["c"]]
+        for r in df.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>").alias("c"))
+        .collect()
+    ]
+    if dims is None:
+        dims = len(cents[0])
+    for _ in range(iters):
+        assigned = df.withColumn("_list", _argmin_list_expr(cents, vec_col))
+        rows = (
+            assigned.groupBy("_list")
+            .agg(*[
+                F.avg(F.col(vec_col).cast("array<double>")[d]).alias(f"c{d}")
+                for d in range(dims)
+            ])
+            .collect()
+        )
+        by_list = {int(r["_list"]): r for r in rows}
+        cents = [
+            [round(float(by_list[li][f"c{d}"]), round_to) for d in range(dims)]
+            for li in sorted(by_list)
+        ]
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Inverted-list assignment column (the partition-prunable index key)."""
+    return df.withColumn("_list", _argmin_list_expr(centroids, vec_col))
+
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: corpus parquet PARTITIONED BY the list id.
+    A probe query then reads only ``nprobe`` list directories — partition
+    pruning at the file-listing level, the 100 TB-scale path. Returns the
+    trained centroids (caller persists them beside the index)."""
+    cents = kmeans_centroids(df, n_centroids, iters, vec_col, id_col, dims)
+    ivf_assign(df, cents, vec_col).write.mode("overwrite").partitionBy("_list").parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF index: prune to the ``nprobe`` nearest
+    lists (partition filter → only those directories are scanned), exact
+    cosine rerank inside."""
+    q = [float(x) for x in query_vec]
+    probe = _nearest_lists(centroids, q, nprobe)
+    candidates = spark.read.parquet(path).filter(F.col("_list").isin(probe))
+    return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _nearest_lists(centroids: list[list[float]], q: list[float], nprobe: int) -> list[int]:
+    def py_dist2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    return sorted(
+        range(len(centroids)), key=lambda ci: (py_dist2(q, centroids[ci]), ci)
+    )[:nprobe]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_centroids: int = 4,
     nprobe: int = 2,
+    iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: assign every vector to its nearest
-    coarse centroid (inverted lists), probe only the ``nprobe`` centroids
-    nearest the query, exact cosine rerank inside the probed lists.
-
-    Centroids are a deterministic corpus sample (the ``n_centroids``
-    smallest ids) rather than trained k-means — reproducible across
-    executors and oracles; a production deployment swaps in
-    ``pyspark.ml.clustering.KMeans`` centers without touching the plan
-    shape. At scale the assignment column is computed once and persisted
-    with the table (a partition-prune-able list id); queries then scan
-    ~nprobe/n_centroids of the corpus."""
+    """IVF approximate top-k: train the coarse quantizer
+    (:func:`kmeans_centroids`), assign every vector to its nearest centroid
+    (inverted lists, O(C) array argmin), probe only the ``nprobe`` lists
+    nearest the query, exact cosine rerank inside. At scale the assignment
+    is materialized once via :func:`ivf_index_write` and queries prune to
+    the probed partitions."""
     q = [float(x) for x in query_vec]
-    cents = (
-        df.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(vec_col).cast("array<double>").alias("c"))
-        .collect()
-    )
-    centroids = [list(r["c"]) for r in cents]
-
-    def dist2_expr(vec: str, cent: list[float]):
-        arr = F.array(*[F.lit(float(x)) for x in cent])
-        return F.aggregate(
-            F.zip_with(F.col(vec).cast("array<double>"), arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
-    assigned = df
-    for ci, cent in enumerate(centroids):
-        assigned = assigned.withColumn(f"_d{ci}", dist2_expr(vec_col, cent))
-    # argmin over the centroid distances (ties → lowest index)
-    best = None
-    for ci in range(len(centroids)):
-        cond = None
-        for cj in range(len(centroids)):
-            c = F.col(f"_d{ci}") <= F.col(f"_d{cj}")
-            cond = c if cond is None else cond & c
-        best = F.when(cond, F.lit(ci)) if best is None else best.when(cond, F.lit(ci))
-    assigned = assigned.withColumn("_list", best)
-
-    def py_dist2(a: list[float], b: list[float]) -> float:
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(range(len(centroids)), key=lambda ci: (py_dist2(q, centroids[ci]), ci))[
-        :nprobe
-    ]
-    candidates = assigned.filter(F.col("_list").isin(probe))
+    centroids = kmeans_centroids(df, n_centroids, iters, vec_col, id_col, dims)
+    probe = _nearest_lists(centroids, q, nprobe)
+    candidates = ivf_assign(df, centroids, vec_col).filter(F.col("_list").isin(probe))
     return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
