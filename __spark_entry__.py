@@ -364,6 +364,21 @@ def _q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, k=8, bands=4, shingle_n=2, min_est_jaccard=0.25)
 
 
+def _q_doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP resolution: connected components (min-label
+    propagation) over the banded-LSH candidate pairs — pairs → clusters →
+    canonical keeper (min id) per cluster."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import connected_components, minhash_lsh_pairs
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    pairs = minhash_lsh_pairs(d, k=8, bands=4, shingle_n=2, min_est_jaccard=0.25)
+    groups = connected_components(pairs)
+    return groups.select(F.col("id_a").alias("doc_id"), "group_id")
+
+
 def _q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) signatures — textops.dedup operator."""
     from data_sync_spark.textops.dedup import simhash
@@ -550,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": _q_doc_quality,
     "doc_minhash_sig": _q_doc_minhash_sig,
     "doc_lsh_pairs": _q_doc_lsh_pairs,
+    "doc_dedup_groups": _q_doc_dedup_groups,
     "doc_simhash": _q_doc_simhash,
     "doc_lang_id": _q_doc_lang_id,
     "doc_token_regex": _q_doc_token_regex,
@@ -1119,8 +1135,33 @@ LIMIT {k}
 
 _DUCK_IVF_SQL = _duck_ivf_trained_sql(n_centroids=16, nprobe=4, iters=2)
 
+def _duck_dedup_groups_sql() -> str:
+    """Connected components over the LSH pairs via a recursive transitive
+    closure; group = least(self, min reachable) — the same fixpoint the
+    Spark min-label propagation converges to."""
+    lsh = _duck_lsh_pairs_sql(k=8, bands=4, min_est=0.25)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({lsh})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 ORACLES.update(
     {
+        "doc_dedup_groups": _duck_dedup_groups_sql(),
         "emb_ivf_topk": _DUCK_IVF_SQL,
         "doc_winnow": _DUCK_WINNOW_SQL,
         "doc_ngram_jaccard": _DUCK_NGRAM_JACCARD_SQL,

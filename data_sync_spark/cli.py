@@ -171,6 +171,16 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_metrics(args) -> int:
+    """Export the table's per-batch metrics as a Prometheus textfile
+    (reference parity: monitor.go counters/gauges)."""
+    from data_sync_spark.metrics import write_prometheus_textfile
+
+    path = write_prometheus_textfile(args.table, args.out)
+    print(json.dumps({"written": path}))
+    return 0
+
+
 def cmd_show(args) -> int:
     from data_sync_spark.lake import LakeTable
     from data_sync_spark.metrics import MetricsSink
@@ -243,6 +253,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="table state / history / metrics")
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_show)
+
+    pm = sub.add_parser("metrics", help="export Prometheus textfile from batch metrics")
+    pm.add_argument("--table", required=True)
+    pm.add_argument("--out", required=True)
+    pm.set_defaults(fn=cmd_metrics)
 
     args = p.parse_args(argv)
     return args.fn(args)

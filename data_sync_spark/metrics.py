@@ -54,3 +54,117 @@ class MetricsSink:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+# --- exporters (reference parity: Prometheus counters/gauges/histograms,
+# /root/reference/src/infrastructure/monitor/monitor.go:44-108) ------------
+
+
+def render_prometheus(records: list[dict]) -> str:
+    """Render per-batch JSONL records into Prometheus text exposition format
+    (node_exporter textfile-collector compatible). Counters aggregate over
+    the table's whole history; gauges reflect the latest batch per app."""
+    per_app: dict[str, dict] = {}
+    for r in records:
+        if "app_id" not in r or "batch_id" not in r:
+            continue  # listener progress rows etc. — not batch records
+        app = str(r.get("app_id", "default"))
+        s = per_app.setdefault(
+            app,
+            {
+                "batches": 0, "events": 0, "quarantined": 0, "upserts": 0,
+                "deletes": 0, "replay_skipped": 0, "elapsed": 0.0,
+                "last_batch_id": None,
+            },
+        )
+        s["batches"] += 1
+        s["events"] += int(r.get("events_in") or 0)
+        s["quarantined"] += int(r.get("quarantined") or 0)
+        s["upserts"] += int(r.get("upserts") or 0)
+        s["deletes"] += int(r.get("deletes_applied") or 0)
+        s["replay_skipped"] += 1 if r.get("replay_skipped") else 0
+        s["elapsed"] += float(r.get("elapsed_sec") or 0.0)
+        if r.get("batch_id") is not None:
+            s["last_batch_id"] = r["batch_id"]
+
+    lines = []
+
+    def metric(name: str, mtype: str, help_: str, key: str):
+        lines.append(f"# HELP {name} {help_}")
+        lines.append(f"# TYPE {name} {mtype}")
+        for app, s in sorted(per_app.items()):
+            v = s[key]
+            if v is None:
+                continue
+            lines.append(f'{name}{{app_id="{app}"}} {v}')
+
+    metric("data_sync_batches_total", "counter", "micro-batches processed", "batches")
+    metric("data_sync_events_total", "counter", "change events consumed", "events")
+    metric(
+        "data_sync_quarantined_total", "counter",
+        "malformed events skipped (reference retry-then-skip analog)", "quarantined",
+    )
+    metric("data_sync_upserts_total", "counter", "rows upserted", "upserts")
+    metric("data_sync_deletes_total", "counter", "delete tombstones applied", "deletes")
+    metric(
+        "data_sync_replayed_batches_total", "counter",
+        "replayed epochs skipped by exactly-once bookkeeping", "replay_skipped",
+    )
+    metric(
+        "data_sync_batch_seconds_sum", "counter", "batch wall-clock (histogram sum)",
+        "elapsed",
+    )
+    metric("data_sync_last_batch_id", "gauge", "latest committed batch id", "last_batch_id")
+    return "\n".join(lines) + "\n"
+
+
+def write_prometheus_textfile(table_path: str, out_path: str) -> str:
+    """Scrape the table's metrics JSONL into a Prometheus textfile."""
+    sink = MetricsSink(table_path)
+    text = render_prometheus(sink.records())
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def attach_progress_listener(spark, table_path: str):
+    """StreamingQueryListener → per-trigger progress rows appended beside the
+    batch lineage (reference analog: strategy-latency histograms). Returns
+    the listener (caller may remove it via spark.streams.removeListener)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    sink = MetricsSink(table_path)
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            sink.emit({"type": "query_started", "query_id": str(event.id)})
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            sink.emit(
+                {
+                    "type": "query_progress",
+                    "query_id": str(p.id),
+                    "stream_batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "duration_ms": dict(p.durationMs or {}),
+                }
+            )
+
+        def onQueryTerminated(self, event):
+            sink.emit(
+                {
+                    "type": "query_terminated",
+                    "query_id": str(event.id),
+                    "exception": event.exception,
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener

@@ -135,3 +135,57 @@ def kafka_change_feed(
         .load()
     )
     return parse_maxwell(raw, value_col="value", kafka_offset_col="offset")
+
+
+def composite_key_exprs(key_cols: list[str]) -> list["F.Column"]:
+    """Extract named pk components by zipping the Maxwell
+    ``primary_key_columns``/``primary_key`` arrays — the reference's
+    composite-pk handling (``mysql_filter_service.go:90-93``) vectorized:
+    value_i = primary_key[index of name_i in primary_key_columns]. Missing
+    names yield NULL (the pipeline guard then quarantines the event)."""
+    out = []
+    for k in key_cols:
+        pos = F.array_position(F.col("_env.primary_key_columns"), F.lit(k))
+        out.append(
+            F.when(
+                pos > 0, F.element_at(F.col("_env.primary_key"), pos.cast("int"))
+            ).alias(k)
+        )
+    return out
+
+
+def parse_maxwell_composite(
+    raw: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    kafka_offset_col: str | None = None,
+) -> DataFrame:
+    """Composite-primary-key variant of :func:`parse_maxwell`: the key
+    columns come from the primary_key zip (insert/update/delete all carry
+    it), payload fields from ``data`` as usual. Output plugs straight into
+    ``net_changes(..., key_cols=key_cols)`` / a LakeTable created with the
+    same key list."""
+    env = raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), MAXWELL_SCHEMA)
+    )
+    if kafka_offset_col is not None:
+        log_offset = F.col(kafka_offset_col).cast("long")
+    else:
+        log_offset = position_to_offset(F.col("_env.position"))
+    is_delete = F.col("_env.type") == "delete"
+    key_exprs = composite_key_exprs(key_cols)
+    out = env.select(
+        F.col("_env.type").alias("op"),
+        *key_exprs,
+        log_offset.alias("log_offset"),
+        F.pmod(F.coalesce(F.col("_env.xid"), F.lit(0)), F.lit(1 << 31))
+        .cast("int")
+        .alias("seq"),
+        F.when(~is_delete, F.col("_env.data.tokens")).alias("tokens"),
+        F.when(~is_delete, F.col("_env.data.n_tok")).alias("n_tok"),
+        F.coalesce(F.col("_env.data.source"), F.col("_env.table")).alias("source"),
+    )
+    pred = F.col("op").isin("insert", "update", "delete") & F.col(
+        "log_offset"
+    ).isNotNull()
+    return out.filter(pred)

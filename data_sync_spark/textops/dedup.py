@@ -291,3 +291,58 @@ def ngram_jaccard_pairs(
         )
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate GROUP resolution: connected components over candidate
+    pairs → ``(doc_id, group_id)`` with group_id = min member id (the
+    canonical keeper). The step after pair generation in a real dedup
+    pipeline: pairs → clusters → keep one per cluster.
+
+    Min-label propagation: every vertex repeatedly adopts the smallest label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds — near-dup clusters are shallow (dozens of hops at worst), so
+    this terminates in a handful of shuffle rounds even at corpus scale.
+    Each round is one join + one hash aggregation on uniformly distributed
+    ids; ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1. Convergence is detected by the label-sum
+    fixpoint (monotonically decreasing, so equality ⇒ no label changed).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src").distinct().withColumn("label", F.col("src"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("src").alias(a_col), F.col("label").alias("group_id"))

@@ -191,3 +191,39 @@ def test_hot_config_reload(spark, tmp_path):
     )
     expected = expected.loc[:, ~expected.columns.duplicated()].sort_values("doc_id")
     assert_state_equal(table.read().toPandas(), expected)
+
+
+def test_prometheus_export_and_listener(spark, tmp_path):
+    """Metrics export (reference monitor.go parity): Prometheus textfile
+    from batch records + StreamingQueryListener progress rows."""
+    from data_sync_spark.metrics import (
+        MetricsSink,
+        attach_progress_listener,
+        render_prometheus,
+        write_prometheus_textfile,
+    )
+
+    feed_dir = make_feed(spark, tmp_path, n_events=1_000, chunks=2)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    listener = attach_progress_listener(spark, table.path)
+    try:
+        q = run_stream(spark, feed_dir, table, cfg, str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    out = write_prometheus_textfile(table.path, str(tmp_path / "metrics.prom"))
+    text = open(out).read()
+    assert 'data_sync_batches_total{app_id="stream"} 2' in text
+    assert 'data_sync_events_total{app_id="stream"} 1000' in text
+    assert 'data_sync_quarantined_total{app_id="stream"} 0' in text
+    assert "# TYPE data_sync_last_batch_id gauge" in text
+    # listener progress rows landed beside the batch records and are
+    # excluded from the counters
+    recs = MetricsSink(table.path).records()
+    kinds = {r.get("type") for r in recs if "type" in r}
+    assert "query_progress" in kinds and "query_started" in kinds
+    assert render_prometheus(recs) == render_prometheus(
+        [r for r in recs if "type" not in r]
+    )

@@ -238,3 +238,22 @@ def test_ivf_trained_index_partition_pruning(spark, tmp_path):
     exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
     got = {r["vec_id"] for r in indexed.collect()}
     assert len(exact & got) >= 6  # ≥60% recall@10 with nprobe=4/16
+
+
+def test_connected_components_small_graph(spark):
+    """Known topology: two chains + a singleton pair → min-id groups."""
+    from data_sync_spark.textops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        (r["id_a"], r["group_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

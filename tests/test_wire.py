@@ -71,3 +71,39 @@ def test_position_ordering_across_binlog_files(spark):
     )
     out = [r[0] for r in df.select(position_to_offset(df.p)).collect()]
     assert out[2] < out[0] < out[1]  # file rotation keeps order monotonic
+
+
+def test_parse_maxwell_composite_key(spark):
+    """Composite pk via the primary_key_columns/primary_key zip (reference
+    mysql_filter_service.go:90-93)."""
+    import json
+
+    import pandas as pd
+
+    from data_sync_spark.streaming.wire import parse_maxwell_composite
+
+    def env(t, tenant, doc, pos, data=None):
+        return json.dumps(
+            {
+                "type": t, "database": "d", "table": "web", "xid": 9,
+                "position": f"master.000002:{pos}",
+                "primary_key": [tenant, doc],
+                "primary_key_columns": ["tenant", "doc_id"],
+                "data": data,
+            }
+        )
+
+    msgs = [
+        env("insert", "t0", "a", 10, {"tokens": [1, 2], "n_tok": 2, "source": "web"}),
+        env("delete", "t1", "a", 20),
+        env("insert", "t0", "b", 30, {"tokens": [3], "n_tok": 1, "source": "web"}),
+    ]
+    raw = spark.createDataFrame(pd.DataFrame({"value": msgs}))
+    out = parse_maxwell_composite(raw, ["tenant", "doc_id"]).orderBy("log_offset").collect()
+    assert [(r["op"], r["tenant"], r["doc_id"]) for r in out] == [
+        ("insert", "t0", "a"),
+        ("delete", "t1", "a"),
+        ("insert", "t0", "b"),
+    ]
+    assert out[1]["tokens"] is None  # delete carries only the key
+    assert [int(x) for x in out[0]["tokens"]] == [1, 2]
