@@ -165,7 +165,11 @@ def cmd_maintain(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
-    compacted = table.compact()
+    if args.consolidate_only:
+        consolidated = table.consolidate_deltas()
+        print(json.dumps({"consolidated_buckets": consolidated}))
+        return 0
+    compacted = table.compact(purge_before=args.purge_tombstones_before)
     expired = table.expire_snapshots(keep_last=args.keep_snapshots)
     print(json.dumps({"compacted_buckets": compacted, **expired}))
     return 0
@@ -248,6 +252,17 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("maintain", help="compact dirty buckets + expire snapshots")
     m.add_argument("--table", required=True)
     m.add_argument("--keep-snapshots", type=int, default=2)
+    m.add_argument(
+        "--consolidate-only",
+        action="store_true",
+        help="binPack delta files per bucket without a full compaction",
+    )
+    m.add_argument(
+        "--purge-tombstones-before",
+        type=int,
+        default=None,
+        help="age-based tombstone GC horizon (offset); requires source retention past it",
+    )
     m.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("show", help="table state / history / metrics")

@@ -804,6 +804,68 @@ class LakeTable:
         return [] if child is None else sorted(compacted)
 
     # ----------------------------------------------------------- maintenance
+    def consolidate_deltas(
+        self, buckets: list[int] | None = None, min_files: int = 2
+    ) -> list[int]:
+        """Light compaction (Iceberg binPack analog for MOR deltas): collapse
+        a bucket's delta files into ONE resolved delta file without touching
+        its base. Cost is O(delta rows) — not O(bucket) like full compaction
+        — so it can run at high batch rates to bound read fan-in between
+        full compactions. LWW resolution keeps one winner per key including
+        tombstones, so read results are unchanged. Rebases over concurrent
+        commits: deltas appended since this snapshot are carried over; a
+        bucket whose base changed (COW/compact/rescale) is skipped."""
+        manifest = self.current()
+        schema = T.StructType.fromJson(manifest["schema"])
+        keys = as_key_cols(manifest.get("key_col", KEY_COL))
+        dschema = _delta_schema(schema)
+        targets = {
+            int(b): e
+            for b, e in manifest["files"].items()
+            if len(e.get("delta", [])) >= min_files
+            and (buckets is None or int(b) in buckets)
+        }
+        if not targets:
+            return []
+        delta_paths = [p for e in targets.values() for p in e["delta"]]
+        raw = self.spark.read.schema(dschema).parquet(*self._abs(delta_paths))
+        resolved = _resolve(raw, dschema, keys).withColumn(
+            _BUCKET, bucket_expr(manifest["n_buckets"], keys)
+        )
+        version = manifest["version"] + 1
+        new_files = self._write_bucket_files(resolved, version, "x")
+        snap_files = manifest["files"]
+        consolidated: list[int] = []
+
+        def build(m: dict) -> dict | None:
+            consolidated.clear()
+            files = _copy_files(m["files"])
+            for b in targets:
+                bs = str(b)
+                se = snap_files.get(bs, {"base": [], "delta": []})
+                ce = files.get(bs, {"base": [], "delta": []})
+                if ce["base"] == se.get("base", []) and ce["delta"][
+                    : len(se.get("delta", []))
+                ] == se.get("delta", []):
+                    files[bs] = {
+                        "base": ce["base"],
+                        "delta": new_files.get(bs, [])
+                        + ce["delta"][len(se.get("delta", [])):],
+                    }
+                    consolidated.append(b)
+            if not consolidated:
+                return None
+            return {
+                "files": files,
+                "summary": {
+                    "operation": "consolidate-deltas",
+                    "buckets": sorted(consolidated),
+                },
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        return [] if child is None else sorted(consolidated)
+
     def rescale(self, n_buckets: int) -> int:
         """Rewrite the whole table into a new bucket count (``n_buckets`` is
         fixed at create; a table that outgrows its layout gets a new one —

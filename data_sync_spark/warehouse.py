@@ -88,7 +88,12 @@ def apply_batch_multi(
                 skipped.append(src)  # F8: event's table missing → dropped
                 continue
         table = wh.table(src)
-        net = net_changes(batch_df.filter(F.col("source") == src), cfg, table.schema)
+        net = net_changes(
+            batch_df.filter(F.col("source") == src),
+            cfg,
+            table.schema,
+            key_cols=table.key_cols,
+        )
         results[src] = table.merge(
             net,
             app_id=app_id,

@@ -204,3 +204,55 @@ def test_bucket_rescale_preserves_state(spark, tmp_path):
     assert_state_equal(table.read().toPandas(), expected)
     # bucket pruning agrees with the new transform: union of buckets = all
     assert table.read(buckets=list(range(16))).count() == table.read().count()
+
+
+def test_consolidate_deltas(spark, tmp_path):
+    """binPack-style delta consolidation: one resolved delta file per bucket,
+    base untouched, read results identical, LWW guard intact."""
+    import pandas as pd
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.generator import change_feed
+    from data_sync_spark.oracle import replay_to_pandas
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+    from tests.conftest import assert_state_equal
+
+    cfg = PipelineConfig()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2,
+        compact_threshold=10**9,  # keep auto-compaction out of the way
+    )
+    per, batches = 300, 5
+    for b in range(batches):
+        feed = change_feed(spark, per, n_keys=60, seed=17, start_offset=b * per)
+        table.merge(net_changes(feed, cfg, table.schema), app_id="a", batch_id=b, mor=True)
+    before = {b: len(e["delta"]) for b, e in table.current()["files"].items()}
+    assert all(n >= batches for n in before.values())
+
+    done = table.consolidate_deltas()
+    assert sorted(done) == [0, 1]
+    after = table.current()["files"]
+    assert all(len(e["delta"]) == 1 for e in after.values())
+    assert all(e["base"] == [] for e in after.values())  # base untouched (none yet)
+
+    full = change_feed(spark, per * batches, n_keys=60, seed=17).toPandas()
+    expected = replay_to_pandas(full, cfg, target_cols=["doc_id", "tokens", "n_tok", "source"])
+    assert_state_equal(table.read().toPandas(), expected)
+
+    # cross-batch LWW survives: stale replay below an applied delete loses
+    def ev(op, doc, off, tokens=None):
+        return {
+            "op": op, "doc_id": doc, "log_offset": off, "seq": 0,
+            "tokens": tokens, "n_tok": None if tokens is None else len(tokens),
+            "source": "web",
+        }
+
+    key = expected.doc_id.iloc[0]
+    hi = per * batches + 100
+    b1 = spark.createDataFrame(pd.DataFrame([ev("delete", key, hi)]), schema=EVENT_SCHEMA)
+    table.merge(net_changes(b1, cfg, table.schema), app_id="a", batch_id=batches, mor=True)
+    table.consolidate_deltas()
+    stale = spark.createDataFrame(pd.DataFrame([ev("insert", key, 5, [9])]), schema=EVENT_SCHEMA)
+    table.merge(net_changes(stale, cfg, table.schema), app_id="z", batch_id=0, mor=True)
+    assert table.read().filter(f"doc_id = '{key}'").count() == 0
