@@ -604,6 +604,12 @@ class LakeTable:
                 # a concurrent commit invalidated the COW output — recompute
                 # the whole merge against the new snapshot
                 continue
+            except Exception as e:
+                if not mor and _is_missing_file_error(e):
+                    # concurrent expire removed files under the pinned COW
+                    # read — recompute from the fresh snapshot
+                    continue
+                raise
         raise CommitConflict(f"COW merge starved after 16 recomputes at {self.path}")
 
     # ------------------------------------------------------- merge: MOR path
@@ -770,7 +776,15 @@ class LakeTable:
             _BUCKET, bucket_expr(manifest["n_buckets"], key_col)
         )
         version = manifest["version"] + 1
-        new_files = self._write_bucket_files(resolved, version, "c")
+        try:
+            new_files = self._write_bucket_files(resolved, version, "c")
+        except Exception as e:
+            if _is_missing_file_error(e):
+                # a concurrent expire removed files under this pinned read —
+                # skip this round; the next trigger compacts from a fresh
+                # snapshot
+                return []
+            raise
         snap_files = manifest["files"]
         compacted: list[int] = []
 
@@ -833,7 +847,12 @@ class LakeTable:
             _BUCKET, bucket_expr(manifest["n_buckets"], keys)
         )
         version = manifest["version"] + 1
-        new_files = self._write_bucket_files(resolved, version, "x")
+        try:
+            new_files = self._write_bucket_files(resolved, version, "x")
+        except Exception as e:
+            if _is_missing_file_error(e):
+                return []  # concurrent expire under the pinned read — skip
+            raise
         snap_files = manifest["files"]
         consolidated: list[int] = []
 
@@ -909,42 +928,68 @@ class LakeTable:
                 continue
         raise CommitConflict(f"rescale starved after 8 recomputes at {self.path}")
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_sec: float = 600.0
+    ) -> dict:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than the
         last ``keep_last`` versions and physically delete data files no kept
         snapshot references. Bounds storage for a forever-running stream
         (each MOR merge adds delta files; compaction supersedes base files —
-        without expiry a 10^10-event replay accumulates every generation)."""
+        without expiry a 10^10-event replay accumulates every generation).
+
+        Generation dirs referenced ONLY by expired manifests are deleted
+        (committed, then superseded). Dirs referenced by NO manifest are
+        either a crashed writer's leftovers or — critically — a LIVE
+        concurrent writer's files between data-write and manifest-commit;
+        they are removed only once older than ``orphan_grace_sec`` (Iceberg's
+        remove_orphan_files retention-interval rule). Pick the grace above
+        any plausible write-to-commit latency."""
         import shutil
+        import time
 
         current = self.current()
         keep_from = max(0, current["version"] - keep_last + 1)
         mdir = os.path.join(self.path, _MANIFEST_DIR)
         kept_refs: set[str] = set()
+        expired_refs: set[str] = set()
         removed_manifests = 0
         for entry in sorted(os.listdir(mdir)):
             if not entry.startswith("v"):
                 continue
             version = int(entry[1:].split(".")[0])
             mpath = os.path.join(mdir, entry)
-            if version >= keep_from:
+            try:
                 with open(mpath) as f:
                     m = json.load(f)
-                for e in m["files"].values():
-                    kept_refs.update(e.get("base", []))
-                    kept_refs.update(e.get("delta", []))
-            else:
+            except FileNotFoundError:  # concurrent expire
+                continue
+            refs = kept_refs if version >= keep_from else expired_refs
+            for e in m["files"].values():
+                refs.update(e.get("base", []))
+                refs.update(e.get("delta", []))
+            if version < keep_from:
                 os.unlink(mpath)
                 removed_manifests += 1
         data_dir = os.path.join(self.path, "data")
         removed_files = 0
+        now = time.time()
         if os.path.isdir(data_dir):
             for gen in sorted(os.listdir(data_dir)):
                 gen_dir = os.path.join(data_dir, gen)
                 rel_gen = os.path.join("data", gen)
-                if not any(r.startswith(rel_gen + os.sep) for r in kept_refs):
-                    removed_files += sum(len(fs) for _, _, fs in os.walk(gen_dir))
-                    shutil.rmtree(gen_dir)
+                prefix = rel_gen + os.sep
+                if any(r.startswith(prefix) for r in kept_refs):
+                    continue
+                committed = any(r.startswith(prefix) for r in expired_refs)
+                if not committed:
+                    try:
+                        age = now - os.path.getmtime(gen_dir)
+                    except FileNotFoundError:
+                        continue
+                    if age < orphan_grace_sec:
+                        continue  # possibly a live writer pre-commit
+                removed_files += sum(len(fs) for _, _, fs in os.walk(gen_dir))
+                shutil.rmtree(gen_dir, ignore_errors=True)
         return {
             "kept_from_version": keep_from,
             "removed_manifests": removed_manifests,
@@ -1198,6 +1243,20 @@ def _resolve(raw: DataFrame, dschema: T.StructType, keys: list[str]) -> DataFram
         *[F.col(f"_w.{c}").alias(c) for c in val_cols],
         F.col(_VER),
         F.col(f"_w.{_OP}").alias(_OP),
+    )
+
+
+def _is_missing_file_error(e: Exception) -> bool:
+    """True for Spark failures caused by a data file deleted underneath a
+    pinned snapshot read (a concurrent expire_snapshots past the reader's
+    snapshot — the documented Iceberg-style hazard). Such failures are
+    retryable from a fresh snapshot, not fatal."""
+    s = str(e)
+    return (
+        "FileNotFoundException" in s
+        or "FILE_NOT_FOUND" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
     )
 
 

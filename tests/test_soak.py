@@ -74,3 +74,80 @@ def test_soak_end_to_end(spark, tmp_path):
         assert code_rows["n_tok"].isna().all()
     assert actual["extra_quality"].notna().any()
     assert "wiki" not in set(actual["source"])
+
+
+@pytest.mark.slow
+def test_soak_concurrent_writers_with_maintenance(spark, tmp_path):
+    """Concurrent soak: streaming ingest + backfill + a maintenance thread
+    (delta consolidation / compaction / snapshot expiry) all racing on ONE
+    table for the whole run — final state must equal the serial oracle and
+    every commit must survive the rebase protocol."""
+    import threading
+    import time as _time
+
+    import pandas as pd
+
+    from data_sync_spark.backfill import backfill
+
+    n = 60_000  # stream [0, n), backfill [n, 2n)
+    cfg = PipelineConfig()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8, compact_threshold=6
+    )
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(spark, feed_dir, n, chunk_size=5_000, n_keys=4_000, seed=101)
+    tail = change_feed(spark, n, n_keys=4_000, seed=101, start_offset=n)
+
+    stop = threading.Event()
+    errs: list[str] = []  # strings: exception objects can wedge reporting
+
+    def run_backfill():
+        try:
+            backfill(spark, tail, table, cfg, chunk_offsets=5_000)
+        except Exception as e:  # pragma: no cover
+            errs.append(f"backfill: {type(e).__name__}: {e}"[:2000])
+
+    def run_maintenance():
+        # expire keeps a deep history (50) so pinned maintenance reads
+        # rarely lose their files; when they do, compact/consolidate
+        # degrade to a skipped round (missing-file hardening in table.py)
+        try:
+            i = 0
+            while not stop.is_set():
+                _time.sleep(0.5)
+                if i % 3 == 2:
+                    table.compact()
+                elif i % 3 == 1:
+                    table.expire_snapshots(keep_last=50)
+                else:
+                    table.consolidate_deltas()
+                i += 1
+        except Exception as e:  # pragma: no cover
+            errs.append(f"maintenance: {type(e).__name__}: {e}"[:2000])
+
+    tb = threading.Thread(target=run_backfill)
+    tm = threading.Thread(target=run_maintenance)
+    q = run_stream(spark, feed_dir, table, cfg, str(tmp_path / "ckpt"))
+    tb.start()
+    tm.start()
+    q.awaitTermination(900)
+    tb.join(timeout=900)
+    stop.set()
+    tm.join(timeout=120)
+    assert not errs, errs
+
+    full = pd.concat(
+        [
+            change_feed(spark, n, n_keys=4_000, seed=101).toPandas(),
+            tail.toPandas(),
+        ],
+        ignore_index=True,
+    )
+    expected = replay_to_pandas(
+        full, cfg, target_cols=["doc_id", "tokens", "n_tok", "source"]
+    )
+    assert_state_equal(table.read().toPandas(), expected)
+    assert table.last_batch_id("stream") == n // 5_000 - 1
+    assert table.last_batch_id("backfill") == n // 5_000 - 1
+    report = inspect(table, expected=spark.createDataFrame(expected, schema=table.schema))
+    assert report.ok
