@@ -256,3 +256,37 @@ def test_consolidate_deltas(spark, tmp_path):
     stale = spark.createDataFrame(pd.DataFrame([ev("insert", key, 5, [9])]), schema=EVENT_SCHEMA)
     table.merge(net_changes(stale, cfg, table.schema), app_id="z", batch_id=0, mor=True)
     assert table.read().filter(f"doc_id = '{key}'").count() == 0
+
+
+def test_expire_spares_uncommitted_inflight_writes(spark, tmp_path):
+    """Regression (round-2 soak find): a concurrent writer's data files
+    sitting between data-write and manifest-commit are unreferenced by any
+    manifest — expire must NOT delete them within the orphan grace period
+    (it did, destroying the in-flight commit)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.lake.table import _BUCKET
+
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    ev = change_feed(spark, 400, n_keys=50, seed=3)
+    table.merge(net_changes(ev, cfg, table.schema), app_id="a", batch_id=0, mor=True)
+
+    # simulate the writer: files written, manifest commit not yet done
+    inflight = (
+        table.read()
+        .withColumn(_BUCKET, F.lit(0))
+        .limit(5)
+    )
+    files = table._write_bucket_files(inflight, 99, "d")
+    paths = [os.path.join(table.path, p) for ps in files.values() for p in ps]
+    assert all(os.path.exists(p) for p in paths)
+
+    table.expire_snapshots(keep_last=1)  # default grace
+    assert all(os.path.exists(p) for p in paths), "in-flight files deleted"
+
+    # past the grace, a crashed writer's leftovers ARE garbage-collected
+    table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    assert not any(os.path.exists(p) for p in paths)
