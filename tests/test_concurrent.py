@@ -207,3 +207,66 @@ def test_cow_recomputes_on_bucket_conflict(spark, tmp_path):
     assert list(out.doc_id) == ["a", "b"]
     assert [int(x) for x in out.tokens.iloc[0]] == [3]
     assert [int(x) for x in out.tokens.iloc[1]] == [2]
+
+
+def test_rescale_races_live_writer(spark, tmp_path):
+    """rescale() recomputes when merges land mid-rewrite; no commit lost."""
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    head = change_feed(spark, 1_000, n_keys=80, seed=41)
+    table.merge(net_changes(head, cfg, table.schema), app_id="w", batch_id=0, mor=True)
+    rival = LakeTable(spark, table.path)
+
+    def rival_merge():
+        rival.merge(
+            net_changes(
+                change_feed(spark, 500, n_keys=80, seed=41, start_offset=1_000),
+                cfg,
+                rival.schema,
+            ),
+            app_id="r", batch_id=0, mor=True,
+        )
+
+    # deterministic: the rescale's first commit loses to a concurrent merge
+    orig = table._write_manifest
+    state = {"fired": False}
+
+    def racy(manifest):
+        if not state["fired"] and manifest.get("summary", {}).get("operation") == "rescale":
+            state["fired"] = True
+            rival_merge()
+        return orig(manifest)
+
+    table._write_manifest = racy
+    table.rescale(8)
+    assert state["fired"]
+    assert table.n_buckets == 8
+
+    full = pd.concat(
+        [
+            change_feed(spark, 1_000, n_keys=80, seed=41).toPandas(),
+            change_feed(spark, 500, n_keys=80, seed=41, start_offset=1_000).toPandas(),
+        ],
+        ignore_index=True,
+    )
+    expected = _oracle([full], cfg)
+    assert_state_equal(table.read().toPandas(), expected)
+
+
+def test_aligned_writes_mode_correctness(spark, tmp_path):
+    """The opt-in single-shuffle write mode (PLANS.md §6) stays correct:
+    state equals the oracle, reads resolve, compaction cleans up."""
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    table.aligned_writes = True
+    for b in range(3):
+        feed = change_feed(spark, 800, n_keys=100, seed=53, start_offset=b * 800)
+        table.merge(net_changes(feed, cfg, table.schema), app_id="a", batch_id=b, mor=True)
+    full = change_feed(spark, 2_400, n_keys=100, seed=53).toPandas()
+    expected = _oracle([full], cfg)
+    assert_state_equal(table.read().toPandas(), expected)
+    # many files per bucket per batch is the documented tradeoff; compaction
+    # collapses them
+    table.compact()
+    assert all(len(e["delta"]) == 0 for e in table.current()["files"].values())
+    assert_state_equal(table.read().toPandas(), expected)
