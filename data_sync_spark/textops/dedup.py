@@ -319,6 +319,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # the label frame is tiny relative to the corpus (only docs appearing in
+    # pairs); per-round cost is dominated by task scheduling, so run the
+    # propagation at a reduced width — AQE coalesces the joins to match
+    n_edges = edges.count()
+    width = max(2, min(int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
+    edges = edges.repartition(width, "dst").localCheckpoint(eager=True)
     labels = (
         edges.select("src").distinct().withColumn("label", F.col("src"))
     ).localCheckpoint(eager=True)
