@@ -175,6 +175,42 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_runall(args) -> int:
+    """Start all strategies concurrently against one table — the literal
+    RunAll composition (reference facade.go:28-36), safe under the
+    optimistic-rebase commit protocol."""
+    from data_sync_spark.facade import run_all
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    spark = _spark(args)
+    cfg = _load_cfg(args)
+    if LakeTable.exists(args.table):
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    direct = (
+        spark.read.schema(EVENT_SCHEMA).parquet(args.direct_feed)
+        if args.direct_feed
+        else None
+    )
+    strategies = tuple(s.strip() for s in args.strategies.split(",") if s.strip())
+    out = run_all(
+        spark,
+        table,
+        cfg,
+        feed_path=args.feed,
+        checkpoint_dir=args.checkpoint,
+        direct_source=direct,
+        strategies=strategies,
+        chunk_offsets=args.chunk_offsets,
+    )
+    out["rows"] = table.read().count()
+    out.pop("backfill", None)  # chunk records are in the metrics JSONL
+    print(json.dumps(out, default=str))
+    return 0 if not out["errors"] else 1
+
+
 def cmd_metrics(args) -> int:
     """Export the table's per-batch metrics as a Prometheus textfile
     (reference parity: monitor.go counters/gauges)."""
@@ -268,6 +304,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="table state / history / metrics")
     s.add_argument("--table", required=True)
     s.set_defaults(fn=cmd_show)
+
+    ra = sub.add_parser("runall", help="run all strategies concurrently (facade.RunAll analog)")
+    ra.add_argument("--feed", default=None, help="streaming feed dir (syncmq)")
+    ra.add_argument("--direct-feed", default=None, help="static change log (syncdirect)")
+    ra.add_argument("--table", required=True)
+    ra.add_argument("--checkpoint", default=None)
+    ra.add_argument("--config", default=None)
+    ra.add_argument("--buckets", type=int, default=64)
+    ra.add_argument("--chunk-offsets", type=int, default=1_000_000)
+    ra.add_argument("--strategies", default="inspect,syncdirect,syncmq")
+    ra.set_defaults(fn=cmd_runall)
 
     pm = sub.add_parser("metrics", help="export Prometheus textfile from batch metrics")
     pm.add_argument("--table", required=True)

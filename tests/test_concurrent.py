@@ -270,3 +270,38 @@ def test_aligned_writes_mode_correctness(spark, tmp_path):
     table.compact()
     assert all(len(e["delta"]) == 0 for e in table.current()["files"].values())
     assert_state_equal(table.read().toPandas(), expected)
+
+
+def test_run_all_facade(spark, tmp_path):
+    """The literal RunAll composition (reference facade.go:28-36): syncmq +
+    syncdirect + inspect run concurrently against one table; final state
+    equals the serial oracle of the merged feeds."""
+    from data_sync_spark.facade import run_all
+
+    cfg = PipelineConfig()
+    n = 3_000
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(spark, feed_dir, n, chunk_size=n // 6, n_keys=120, seed=67)
+    tail = change_feed(spark, n, n_keys=120, seed=67, start_offset=n)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+
+    out = run_all(
+        spark,
+        table,
+        cfg,
+        feed_path=feed_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        direct_source=tail,
+        inspect_interval_sec=0.5,
+        chunk_offsets=n // 6,
+    )
+    assert out["errors"] == []
+    assert len(out["backfill"]) == 6
+    assert out["inspect"]["rounds"] >= 1
+    assert out["inspect"]["alarms"] == []
+
+    head = change_feed(spark, n, n_keys=120, seed=67).toPandas()
+    expected = _oracle([head, tail.toPandas()], cfg)
+    assert_state_equal(table.read().toPandas(), expected)
+    assert table.last_batch_id("stream") == 5
+    assert table.last_batch_id("backfill") == 5
