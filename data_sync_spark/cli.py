@@ -169,7 +169,10 @@ def cmd_maintain(args) -> int:
         consolidated = table.consolidate_deltas()
         print(json.dumps({"consolidated_buckets": consolidated}))
         return 0
-    compacted = table.compact(purge_before=args.purge_tombstones_before)
+    compacted = table.compact(
+        purge_before=args.purge_tombstones_before,
+        max_base_files=args.max_base_files,
+    )
     expired = table.expire_snapshots(keep_last=args.keep_snapshots)
     print(json.dumps({"compacted_buckets": compacted, **expired}))
     return 0
@@ -292,6 +295,12 @@ def main(argv: list[str] | None = None) -> int:
         "--consolidate-only",
         action="store_true",
         help="binPack delta files per bucket without a full compaction",
+    )
+    m.add_argument(
+        "--max-base-files",
+        type=int,
+        default=16,
+        help="also rewrite buckets whose base file count exceeds this (append-only small-file GC)",
     )
     m.add_argument(
         "--purge-tombstones-before",

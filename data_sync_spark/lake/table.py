@@ -733,6 +733,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         purge_tombstones: bool = False,
         purge_before: int | None = None,
+        max_base_files: int | None = None,
     ) -> list[int]:
         """Rewrite dirty buckets' base files from resolved base+delta state
         and clear their deltas (Iceberg/Hudi compaction).
@@ -745,7 +746,10 @@ class LakeTable:
         forever-running table: only tombstones applied at or below the
         horizon (e.g. the source's retention horizon, carried in app state)
         are removed; newer tombstones keep guarding against replays that can
-        still arrive."""
+        still arrive. ``max_base_files``: also rewrite buckets whose BASE
+        file count exceeds the bound — append-only workloads never
+        accumulate deltas, so without this their read fan-in grows without
+        limit (Iceberg binPack's small-file criterion)."""
         manifest = self.current()
         schema = T.StructType.fromJson(manifest["schema"])
         key_col = manifest.get("key_col", KEY_COL)
@@ -753,7 +757,14 @@ class LakeTable:
         dirty = [
             int(b)
             for b, e in manifest["files"].items()
-            if (e.get("delta") or (purging and e.get("base")))
+            if (
+                e.get("delta")
+                or (purging and e.get("base"))
+                or (
+                    max_base_files is not None
+                    and len(e.get("base", [])) > max_base_files
+                )
+            )
             and (buckets is None or int(b) in buckets)
         ]
         if not dirty:

@@ -290,3 +290,28 @@ def test_expire_spares_uncommitted_inflight_writes(spark, tmp_path):
     # past the grace, a crashed writer's leftovers ARE garbage-collected
     table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
     assert not any(os.path.exists(p) for p in paths)
+
+
+def test_compact_base_heavy_append_only(spark, tmp_path):
+    """Append-only tables accumulate base files with NO deltas — compaction
+    must still be reachable via the max_base_files criterion."""
+    import pandas as pd
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    for b in range(6):
+        rows = pd.DataFrame(
+            [
+                {"doc_id": f"k{b}-{i}", "tokens": [i], "n_tok": 1, "source": "web"}
+                for i in range(20)
+            ]
+        )
+        table.append(spark.createDataFrame(rows, schema=TARGET_SCHEMA), app_id="a", batch_id=b)
+    before = table.read().toPandas()
+    heavy = {b: len(e["base"]) for b, e in table.current()["files"].items()}
+    assert all(n >= 6 for n in heavy.values())
+    assert table.compact() == []  # delta criterion alone never fires
+    done = table.compact(max_base_files=3)
+    assert sorted(done) == [0, 1]
+    after = {b: len(e["base"]) for b, e in table.current()["files"].items()}
+    assert all(n <= 1 for n in after.values())
+    assert_state_equal(table.read().toPandas(), before)
