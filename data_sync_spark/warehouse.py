@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from data_sync_spark.config import PipelineConfig
 from data_sync_spark.lake import LakeTable, MergeResult
+from data_sync_spark.metrics import MetricsSink
 from data_sync_spark.pipeline import all_upsert, net_changes
 from data_sync_spark.schema import TARGET_SCHEMA
 
@@ -100,6 +101,11 @@ def apply_batch_multi(
             batch_id=batch_id,
             auto_evolve=cfg.evolve_schema,
             mor=all_upsert(cfg),
+        )
+        # per-table metrics record (same JSONL the single-table path emits,
+        # so CLI `metrics` / Prometheus export work per routed table)
+        MetricsSink(table.path).emit(
+            {"app_id": app_id, "batch_id": batch_id, **results[src].as_dict()}
         )
     return {
         "batch_id": batch_id,
