@@ -220,6 +220,42 @@ def _q_cdc_composite_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     return net.select("tenant", "doc_id", "log_offset", "seq", "m_action", "u_action")
 
 
+# Feed with injected poison: unknown ops (heartbeats/DDL) and null keys /
+# null ordering keys (unparseable positions) — same text on both engines.
+CHANGES_POISON_SQL = """
+SELECT
+  CASE WHEN event_id % 97 = 0 THEN 'noise'
+       WHEN event_id % 10 < 6 THEN 'insert'
+       WHEN event_id % 10 < 9 THEN 'update'
+       ELSE 'delete' END                                   AS op,
+  CASE WHEN event_id % 131 = 0 THEN NULL
+       ELSE 'doc-' || lpad(CAST(user_id % 1000 AS STRING), 6, '0') END AS doc_id,
+  CASE WHEN event_id % 113 = 0 THEN NULL
+       ELSE CAST(event_id AS BIGINT) END                   AS log_offset,
+  CAST(event_id % 5 AS INT)                                AS seq,
+  event_type                                               AS source
+FROM events
+"""
+
+
+def _q_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-event accounting (reference retry-3×-then-skip,
+    ``mysql_handler.go:107-119``): per source, how many events pass the
+    well-formed guard vs get quarantined — the same predicate apply_batch
+    counts per batch (pipeline.valid_event_pred)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.pipeline import valid_event_pred
+
+    _register(spark, sf_dir, names=("events",))
+    ch = spark.sql(CHANGES_POISON_SQL)
+    ok = valid_event_pred()
+    return ch.groupBy("source").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("n_quarantined"),
+    )
+
+
 def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 route predicate: PART + include + exclude → default deny rest."""
     from pyspark.sql import functions as F
@@ -554,6 +590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_append_state": _q_cdc_append_state,
     "cdc_composite_key": _q_cdc_composite_key,
     "cdc_composite_net": _q_cdc_composite_net,
+    "cdc_quarantine": _q_cdc_quarantine,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
     "column_filter": _q_column_filter,
@@ -657,6 +694,19 @@ ORACLES: dict[str, str] = {
         FROM changes
         QUALIFY row_number() OVER (PARTITION BY tenant, doc_id
                                    ORDER BY log_offset DESC, seq DESC) = 1
+    """,
+    "cdc_quarantine": f"""
+        WITH changes AS ({CHANGES_POISON_SQL})
+        SELECT source,
+               sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
+                         AND seq IS NOT NULL
+                         AND op IN ('insert','update','delete')
+                        THEN 1 ELSE 0 END) AS n_valid,
+               sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
+                         AND seq IS NOT NULL
+                         AND op IN ('insert','update','delete')
+                        THEN 0 ELSE 1 END) AS n_quarantined
+        FROM changes GROUP BY source
     """,
     "route_include": f"""
         {_CH}
