@@ -698,14 +698,14 @@ ORACLES: dict[str, str] = {
     "cdc_quarantine": f"""
         WITH changes AS ({CHANGES_POISON_SQL})
         SELECT source,
-               sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
+               CAST(sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
                          AND seq IS NOT NULL
                          AND op IN ('insert','update','delete')
-                        THEN 1 ELSE 0 END) AS n_valid,
-               sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(sum(CASE WHEN doc_id IS NOT NULL AND log_offset IS NOT NULL
                          AND seq IS NOT NULL
                          AND op IN ('insert','update','delete')
-                        THEN 0 ELSE 1 END) AS n_quarantined
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
         FROM changes GROUP BY source
     """,
     "route_include": f"""
@@ -858,7 +858,8 @@ def _duck_hs_ctes(shingle_n: int = 2) -> str:
     wh = _dh("w")
     poly = "wh[i]"
     for j in range(1, shingle_n):
-        poly = f"({poly} * 31 + wh[i + {j}])"
+        # per-step mod mirrors the Spark twin (overflow-safe for any n)
+        poly = f"(({poly} * 31 + wh[i + {j}]) % {MINHASH_PRIME})"
     return f"""wh0 AS (
     SELECT doc_id, text,
            list_transform(string_split(text, ' '), w -> ({wh}) % {MINHASH_PRIME}) AS wh

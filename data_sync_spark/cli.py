@@ -122,6 +122,8 @@ def cmd_backfill(args) -> int:
 
 
 def cmd_verify(args) -> int:
+    from pyspark.sql import types as T
+
     from data_sync_spark.inspector import inspect
     from data_sync_spark.lake import LakeTable
     from data_sync_spark.oracle import replay_to_pandas
@@ -130,7 +132,17 @@ def cmd_verify(args) -> int:
     spark = _spark(args)
     cfg = _load_cfg(args)
     table = LakeTable.load(spark, args.table)
-    events = spark.read.schema(EVENT_SCHEMA).parquet(args.feed)
+    # composite-key tables: the feed carries the extra key columns too —
+    # extend the fixed event schema so they are read (and replay keys on
+    # the table's full key list, not just doc_id)
+    feed_schema = EVENT_SCHEMA
+    known = {f.name for f in feed_schema.fields}
+    for k in table.key_cols:
+        if k not in known:
+            feed_schema = feed_schema.add(
+                T.StructField(k, table.schema[k].dataType, True)
+            )
+    events = spark.read.schema(feed_schema).parquet(args.feed)
     # The dict-replay oracle is driver-side BY DESIGN (it is the independent
     # golden model) — guard the toPandas so a huge feed fails loudly instead
     # of OOMing the driver. For feeds past the cap, verify a key-range slice
@@ -151,7 +163,10 @@ def cmd_verify(args) -> int:
         )
         return 2
     expected_pdf = replay_to_pandas(
-        events.toPandas(), cfg, target_cols=[f.name for f in table.schema.fields]
+        events.toPandas(),
+        cfg,
+        target_cols=[f.name for f in table.schema.fields],
+        key_cols=tuple(table.key_cols),
     )
     expected = spark.createDataFrame(expected_pdf, schema=table.schema)
     report = inspect(table, expected=expected)

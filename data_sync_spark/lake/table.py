@@ -456,55 +456,73 @@ class LakeTable:
     ) -> int:
         """Append-only fast path (initial load / insert-only feeds): no join,
         no dedup — new base files are added to each bucket."""
-        manifest = self.current()
-        if app_id is not None and batch_id is not None:
-            # .get: app state may exist without a batch id (watermark-only
-            # set_app_state commit) — treat that as "no batch applied yet"
-            last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
-            if last is not None and batch_id <= int(last):
-                return -1
         app_state = None
-        schema = T.StructType.fromJson(manifest["schema"])
-        version = manifest["version"] + 1
-        if "log_offset" in df.columns and "seq" in df.columns:
-            ver = F.struct(
-                F.col("log_offset").cast("long").alias("off"),
-                F.col("seq").cast("int").alias("seq"),
-            )
-        else:
-            # (0, -1): below any real change version (seq ≥ 0) so later
-            # changes win the LWW guard, but NOT below the backfill
-            # watermark origin (-1) — appended rows must remain visible to
-            # sync_table_direct's `offset > watermark` scan
-            ver = F.struct(
-                F.lit(0).cast("long").alias("off"), F.lit(-1).cast("int").alias("seq")
-            )
-        out = self._conform(df.withColumn(_VER, ver), _physical(schema)).withColumn(
-            _BUCKET, bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL))
-        )
-        new_files = self._write_bucket_files(out, version, "a")
-
-        # base-file adds commute with every other commit → always rebase
-        def build(m: dict) -> dict | None:
+        for _attempt in range(16):
+            manifest = self.current()
             if app_id is not None and batch_id is not None:
-                last = (m["apps"].get(app_id) or {}).get("last_batch_id")
+                # .get: app state may exist without a batch id (watermark-only
+                # set_app_state commit) — treat that as "no batch applied yet"
+                last = (manifest["apps"].get(app_id) or {}).get("last_batch_id")
                 if last is not None and batch_id <= int(last):
-                    return None  # a concurrent writer of this app applied it
-            files = _copy_files(m["files"])
-            for b, paths in new_files.items():
-                files.setdefault(b, {"base": [], "delta": []})
-                files[b]["base"] = files[b]["base"] + paths
-            apps = dict(m["apps"])
-            if app_id is not None and batch_id is not None:
-                apps[app_id] = {
-                    **apps.get(app_id, {}),
-                    "last_batch_id": batch_id,
-                    **(app_state or {}),
-                }
-            return {"files": files, "apps": apps, "summary": {"operation": "append"}}
+                    return -1
+            schema = T.StructType.fromJson(manifest["schema"])
+            version = manifest["version"] + 1
+            if "log_offset" in df.columns and "seq" in df.columns:
+                ver = F.struct(
+                    F.col("log_offset").cast("long").alias("off"),
+                    F.col("seq").cast("int").alias("seq"),
+                )
+            else:
+                # (0, -1): below any real change version (seq ≥ 0) so later
+                # changes win the LWW guard, but NOT below the backfill
+                # watermark origin (-1) — appended rows must remain visible to
+                # sync_table_direct's `offset > watermark` scan
+                ver = F.struct(
+                    F.lit(0).cast("long").alias("off"),
+                    F.lit(-1).cast("int").alias("seq"),
+                )
+            out = self._conform(df.withColumn(_VER, ver), _physical(schema)).withColumn(
+                _BUCKET,
+                bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL)),
+            )
+            new_files = self._write_bucket_files(out, version, "a")
 
-        child = self._commit_with_rebase(build, manifest)
-        return -1 if child is None else child["version"]
+            # base-file adds commute with every other commit EXCEPT a rescale
+            # (files are hashed with this snapshot's bucket count — under a
+            # rescaled manifest they'd sit at wrong bucket ids and pruned
+            # reads would miss keys) → rebase, but recompute on rescale
+            def build(m: dict) -> dict | None:
+                if int(m["n_buckets"]) != int(manifest["n_buckets"]):
+                    raise ConcurrentWriteRetry(
+                        "concurrent rescale invalidated append bucketing"
+                    )
+                if app_id is not None and batch_id is not None:
+                    last = (m["apps"].get(app_id) or {}).get("last_batch_id")
+                    if last is not None and batch_id <= int(last):
+                        return None  # a concurrent writer of this app applied it
+                files = _copy_files(m["files"])
+                for b, paths in new_files.items():
+                    files.setdefault(b, {"base": [], "delta": []})
+                    files[b]["base"] = files[b]["base"] + paths
+                apps = dict(m["apps"])
+                if app_id is not None and batch_id is not None:
+                    apps[app_id] = {
+                        **apps.get(app_id, {}),
+                        "last_batch_id": batch_id,
+                        **(app_state or {}),
+                    }
+                return {
+                    "files": files,
+                    "apps": apps,
+                    "summary": {"operation": "append"},
+                }
+
+            try:
+                child = self._commit_with_rebase(build, manifest)
+            except ConcurrentWriteRetry:
+                continue  # rewrite the data files against the new bucket count
+            return -1 if child is None else child["version"]
+        raise CommitConflict(f"append starved after 16 recomputes at {self.path}")
 
     def add_columns(self, fields: list[T.StructField]) -> int:
         """Metadata-only schema evolution (Iceberg safe add-column).
@@ -605,7 +623,7 @@ class LakeTable:
                 # the whole merge against the new snapshot
                 continue
             except Exception as e:
-                if not mor and _is_missing_file_error(e):
+                if not mor and _is_missing_file_error(e, self.path):
                     # concurrent expire removed files under the pinned COW
                     # read — recompute from the fresh snapshot
                     continue
@@ -671,9 +689,15 @@ class LakeTable:
         affected = sorted(int(b) for b in new_files)
 
         # Delta-file adds are order-independent (readers resolve by _ver),
-        # so a MOR merge commutes with ANY concurrent commit — including
-        # another MOR merge into the same buckets — and always rebases.
+        # so a MOR merge commutes with ANY concurrent commit — EXCEPT a
+        # rescale: our files are hashed with the snapshot's bucket count, so
+        # registering them under a rescaled manifest would file rows under
+        # wrong bucket ids (pruned reads miss keys). Detect and recompute.
         def build(m: dict) -> dict | None:
+            if int(m["n_buckets"]) != int(manifest["n_buckets"]):
+                raise ConcurrentWriteRetry(
+                    "concurrent rescale invalidated MOR delta bucketing"
+                )
             if batch_id is not None:
                 last = (m["apps"].get(app_id) or {}).get("last_batch_id")
                 if last is not None and batch_id <= int(last):
@@ -790,7 +814,7 @@ class LakeTable:
         try:
             new_files = self._write_bucket_files(resolved, version, "c")
         except Exception as e:
-            if _is_missing_file_error(e):
+            if _is_missing_file_error(e, self.path):
                 # a concurrent expire removed files under this pinned read —
                 # skip this round; the next trigger compacts from a fresh
                 # snapshot
@@ -861,7 +885,7 @@ class LakeTable:
         try:
             new_files = self._write_bucket_files(resolved, version, "x")
         except Exception as e:
-            if _is_missing_file_error(e):
+            if _is_missing_file_error(e, self.path):
                 return []  # concurrent expire under the pinned read — skip
             raise
         snap_files = manifest["files"]
@@ -1257,18 +1281,30 @@ def _resolve(raw: DataFrame, dschema: T.StructType, keys: list[str]) -> DataFram
     )
 
 
-def _is_missing_file_error(e: Exception) -> bool:
+def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
     """True for Spark failures caused by a data file deleted underneath a
     pinned snapshot read (a concurrent expire_snapshots past the reader's
     snapshot — the documented Iceberg-style hazard). Such failures are
-    retryable from a fresh snapshot, not fatal."""
+    retryable from a fresh snapshot, not fatal.
+
+    When ``table_path`` is given, only missing paths UNDER the table
+    directory qualify: a genuinely missing source-feed path in the same
+    plan is a caller bug and must raise immediately, not spin 16
+    recomputes into a misleading 'merge starved' CommitConflict."""
     s = str(e)
-    return (
+    shapes = (
         "FileNotFoundException" in s
         or "FILE_NOT_FOUND" in s
         or "PATH_NOT_FOUND" in s
         or "does not exist" in s
+        # errno form raised by a local read of an expired pinned manifest
+        or "No such file or directory" in s
     )
+    if not shapes:
+        return False
+    if table_path is None:
+        return True
+    return os.path.abspath(table_path) in s
 
 
 def _union_schema(base: T.StructType, extra) -> T.StructType:

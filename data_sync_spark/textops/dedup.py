@@ -106,7 +106,10 @@ def minhash_signatures(
     )
     poly = "element_at(_wh, i)"
     for j in range(1, shingle_n):
-        poly = f"({poly} * 31L + element_at(_wh, i + {j}))"
+        # mod at EACH nesting step: intermediates stay < 31*P + P ≈ 2^36,
+        # so any shingle_n is ANSI-overflow-safe (value is unchanged:
+        # ((x mod P)*31 + y) mod P == (x*31 + y) mod P)
+        poly = f"(({poly} * 31L + element_at(_wh, i + {j})) % {MINHASH_PRIME}L)"
     base = wh.withColumn(
         "_hs",
         F.expr(
