@@ -75,10 +75,13 @@ def schema_conform(
     """
     target_cols = {f.name for f in target_schema.fields}
     protected = _protected(key_cols)
+    # "_"-prefixed columns are engine-internal (e.g. _upsert, _route) and are
+    # always carried through; the prefix is reserved (LakeTable uses it for
+    # _ver/_op/_bucket too)
     keep = [
         c
         for c in df.columns
-        if c in target_cols or c in protected or c == "_upsert" or evolve
+        if c in target_cols or c in protected or c.startswith("_") or evolve
     ]
     out = df.select(*keep)
     missing = [

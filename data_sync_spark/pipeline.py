@@ -88,17 +88,30 @@ def net_changes(
     cfg: PipelineConfig,
     target_schema: T.StructType,
     key_cols=KEY_COL,
+    route_col: str | None = None,
 ) -> DataFrame:
     """Full pipeline: prepared events → net-effect collapse. Output: one row
     per doc_id in the encoding ``LakeTable.merge`` consumes
-    (m_action/u_action + branch row images)."""
+    (m_action/u_action + branch row images).
+
+    ``route_col``: multi-table mode — an internal ("_"-prefixed) column
+    holding each event's route (the ORIGINAL source, immune to column_filter
+    nulling ``source`` in the row image). The collapse is keyed on
+    ``(route, key)`` so ONE pass nets a whole multi-table batch; the caller
+    slices per route and drops the column before merge. Internal columns
+    never enter the payload structs (the ``_`` prefix is reserved)."""
     df = prepare_events(events, cfg, target_schema, key_cols=key_cols)
     if "_upsert" not in df.columns:
         raise ValueError(
             "transform dropped the internal _upsert column; custom "
             "transforms must preserve internal (_-prefixed) columns"
         )
-    payload_cols = [c for c in df.columns if c not in (*META_COLS, "_upsert")]
-    return net_effect(
-        df, payload_cols, key_col=as_key_cols(key_cols), all_upsert=all_upsert(cfg)
-    )
+    payload_cols = [
+        c for c in df.columns if c not in META_COLS and not c.startswith("_")
+    ]
+    keys = as_key_cols(key_cols)
+    if route_col is not None:
+        if not route_col.startswith("_"):
+            raise ValueError(f"route_col must be internal ('_'-prefixed): {route_col}")
+        keys = [route_col, *keys]
+    return net_effect(df, payload_cols, key_col=keys, all_upsert=all_upsert(cfg))

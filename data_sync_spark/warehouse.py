@@ -17,6 +17,7 @@ same shape as the reference's per-table goroutines (D4).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,12 +76,22 @@ def apply_batch_multi(
     guard F8) unless ``auto_create``. Idempotence: each table records the
     same (app_id, batch_id) independently, so a replayed epoch re-merges only
     into tables that missed the commit — per-table exactly-once.
+
+    Single-pass routing: the batch is net-collapsed ONCE keyed by
+    ``(_route, key)`` per table-shape group (tables sharing key columns and
+    schema — in practice one group), the tiny net set is persisted, and each
+    table merges its slice out of the cache. Per-batch cost is one scan + one
+    shuffle regardless of how many tables the config routes (the reference
+    routes many tables per task, ``mysql_handler.go:372-386``); without the
+    persist, slicing a lazy plan per source would re-run the collapse S
+    times.
     """
     # distinct routes: a column-pruned scan; sources are few (the reference
     # routes a handful of tables per task config)
     sources = [r[0] for r in batch_df.select("source").distinct().collect() if r[0]]
     results: dict[str, MergeResult] = {}
     skipped = []
+    live: list[str] = []
     for src in sorted(sources):
         if not wh.has_table(src):
             if auto_create:
@@ -88,25 +99,48 @@ def apply_batch_multi(
             else:
                 skipped.append(src)  # F8: event's table missing → dropped
                 continue
-        table = wh.table(src)
-        net = net_changes(
-            batch_df.filter(F.col("source") == src),
+        live.append(src)
+
+    # group routed tables by shape — one net-collapse per distinct
+    # (key columns, schema); heterogeneous warehouses get one pass per shape
+    groups: dict[tuple, list[str]] = {}
+    tables = {}
+    for src in live:
+        t = wh.table(src)
+        tables[src] = t
+        sig = (tuple(t.key_cols), json.dumps(t.schema.jsonValue(), sort_keys=True))
+        groups.setdefault(sig, []).append(src)
+
+    for (key_sig, _schema_json), srcs in groups.items():
+        table0 = tables[srcs[0]]
+        sub = batch_df
+        if len(srcs) < len(sources):
+            sub = sub.filter(F.col("source").isin(srcs))
+        net_all = net_changes(
+            sub.withColumn("_route", F.col("source")),
             cfg,
-            table.schema,
-            key_cols=table.key_cols,
-        )
-        results[src] = table.merge(
-            net,
-            app_id=app_id,
-            batch_id=batch_id,
-            auto_evolve=cfg.evolve_schema,
-            mor=all_upsert(cfg),
-        )
-        # per-table metrics record (same JSONL the single-table path emits,
-        # so CLI `metrics` / Prometheus export work per routed table)
-        MetricsSink(table.path).emit(
-            {"app_id": app_id, "batch_id": batch_id, **results[src].as_dict()}
-        )
+            table0.schema,
+            key_cols=list(key_sig),
+            route_col="_route",
+        ).persist()
+        try:
+            net_all.count()  # materialize the ONE collapse before slicing
+            for src in srcs:
+                net = net_all.filter(F.col("_route") == src).drop("_route")
+                results[src] = tables[src].merge(
+                    net,
+                    app_id=app_id,
+                    batch_id=batch_id,
+                    auto_evolve=cfg.evolve_schema,
+                    mor=all_upsert(cfg),
+                )
+                # per-table metrics record (same JSONL the single-table path
+                # emits, so CLI `metrics` / Prometheus export work per table)
+                MetricsSink(tables[src].path).emit(
+                    {"app_id": app_id, "batch_id": batch_id, **results[src].as_dict()}
+                )
+        finally:
+            net_all.unpersist()
     return {
         "batch_id": batch_id,
         "tables": {s: r.as_dict() for s, r in results.items()},
