@@ -6,12 +6,20 @@ plus wall-clock seconds for the headline operator queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
+Methodology (judge r2 #6): the shared VM swings ±15–20% run-to-run, so the
+headline replay and every query are measured BENCH_RUNS times (default 3)
+and the reported number is the MEDIAN; all runs are recorded alongside
+(`replay_runs`, `query_runs`) so round-over-round deltas can be separated
+from noise.
+
 Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores (default 32)
   BENCH_EVENTS         replay size (default 16_000_000)
   BENCH_KEYS           distinct keys (default 2_000_000)
   BENCH_BATCHES        micro-batches (default 4)
+  BENCH_RUNS           measurement repeats for median (default 3)
+  BENCH_IVF_C256       0 to skip the large-C IVF index bench (default on)
 
 The 10^10-event north rule runs the same generator/pipeline with a larger
 BENCH_EVENTS on a real cluster; event i is identical at every scale
@@ -23,18 +31,47 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
 
 
-def run_replay_bench(spark, n_events: int, n_keys: int, n_batches: int) -> dict:
+def _materialize_feed(spark, tmp: str, n_events: int, n_keys: int, n_batches: int) -> str:
+    """Untimed feed materialization (plays the Kafka broker's role)."""
+    from data_sync_spark.generator import change_feed
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    feed = os.path.join(tmp, "feed")
+    chunk = (n_events + n_batches - 1) // n_batches
+    for c in range(n_batches):
+        start = c * chunk
+        n = min(chunk, n_events - start)
+        change_feed(
+            spark, n, n_keys=n_keys, seed=42, start_offset=start,
+            partitions=max(8, cpus // 2),
+        ).write.mode("overwrite").parquet(os.path.join(feed, f"chunk-{c:05d}"))
+    # flatten chunk dirs into files the stream source can list
+    import glob
+
+    flat = os.path.join(tmp, "flat")
+    os.makedirs(flat)
+    for c in range(n_batches):
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(feed, f"chunk-{c:05d}", "part-*.parquet")))
+        ):
+            os.replace(part, os.path.join(flat, f"chunk-{c:05d}-{i:04d}.parquet"))
+    return flat
+
+
+def run_replay_bench(
+    spark, n_events: int, n_keys: int, n_batches: int, runs: int
+) -> dict:
     """Headline: the real streaming path (sync_mq analog) — pre-materialized
     feed chunks consumed one per micro-batch via Structured Streaming →
-    foreachBatch MOR MERGE. Feed materialization is untimed (it plays the
-    Kafka broker's role)."""
+    foreachBatch MOR MERGE. The SAME feed is replayed ``runs`` times into a
+    fresh table+checkpoint; the headline is the median events/sec."""
     from data_sync_spark.config import PipelineConfig
-    from data_sync_spark.generator import change_feed
     from data_sync_spark.lake import LakeTable
     from data_sync_spark.metrics import MetricsSink
     from data_sync_spark.schema import TARGET_SCHEMA
@@ -43,63 +80,114 @@ def run_replay_bench(spark, n_events: int, n_keys: int, n_batches: int) -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp = tempfile.mkdtemp(prefix="dss-bench-")
     try:
-        feed = os.path.join(tmp, "feed")
-        chunk = (n_events + n_batches - 1) // n_batches
-        # parallel, partitioned chunk writes (untimed feed materialization)
-        for c in range(n_batches):
-            start = c * chunk
-            n = min(chunk, n_events - start)
-            change_feed(
-                spark, n, n_keys=n_keys, seed=42, start_offset=start,
-                partitions=max(8, cpus // 2),
-            ).write.mode("overwrite").parquet(os.path.join(feed, f"chunk-{c:05d}"))
-        # flatten chunk dirs into files the stream source can list
-        import glob
-
-        flat = os.path.join(tmp, "flat")
-        os.makedirs(flat)
-        for c in range(n_batches):
-            for i, part in enumerate(
-                sorted(glob.glob(os.path.join(feed, f"chunk-{c:05d}", "part-*.parquet")))
-            ):
-                os.replace(part, os.path.join(flat, f"chunk-{c:05d}-{i:04d}.parquet"))
-
-        table = LakeTable.create(
-            spark, os.path.join(tmp, "t"), TARGET_SCHEMA, n_buckets=max(32, cpus * 2)
-        )
+        flat = _materialize_feed(spark, tmp, n_events, n_keys, n_batches)
         cfg = PipelineConfig()
         files_per_trigger = max(8, cpus // 2)  # one chunk dir per micro-batch
-        t0 = time.monotonic()
-        q = run_stream(
-            spark, flat, table, cfg, os.path.join(tmp, "ckpt"),
-            max_files_per_trigger=files_per_trigger,
-        )
-        q.awaitTermination()
-        elapsed = time.monotonic() - t0
-        rows = table.read().count()
-        recs = MetricsSink(table.path).records()
+        per_run: list[dict] = []
+        for r in range(runs):
+            table = LakeTable.create(
+                spark,
+                os.path.join(tmp, f"t{r}"),
+                TARGET_SCHEMA,
+                n_buckets=max(32, cpus * 2),
+            )
+            t0 = time.monotonic()
+            q = run_stream(
+                spark, flat, table, cfg, os.path.join(tmp, f"ckpt{r}"),
+                max_files_per_trigger=files_per_trigger,
+            )
+            q.awaitTermination()
+            elapsed = time.monotonic() - t0
+            per_run.append(
+                {
+                    "elapsed_sec": round(elapsed, 3),
+                    "events_per_sec": round(n_events / elapsed, 1),
+                    "batches": len(MetricsSink(table.path).records()),
+                    "final_rows": table.read().count(),
+                }
+            )
+            shutil.rmtree(os.path.join(tmp, f"t{r}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(tmp, f"ckpt{r}"), ignore_errors=True)
+        med = statistics.median(r["events_per_sec"] for r in per_run)
         return {
             "events": n_events,
-            "elapsed_sec": round(elapsed, 3),
-            "events_per_sec": round(n_events / elapsed, 1),
-            "batches": len(recs),
-            "final_rows": rows,
+            "events_per_sec": round(med, 1),
+            "elapsed_sec": statistics.median(r["elapsed_sec"] for r in per_run),
+            "batches": per_run[0]["batches"],
+            "final_rows": per_run[0]["final_rows"],
+            "runs": per_run,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def time_queries(spark, sf_dir: str) -> dict:
+def time_queries(spark, sf_dir: str, runs: int) -> tuple[dict, dict]:
+    """Median-of-``runs`` per query; all runs recorded. The first pass warms
+    IO caches/codegen for everyone equally (queries run in name order each
+    pass, not back-to-back repeats, so per-query caching effects are the
+    same for every pass)."""
     import __spark_entry__ as entrymod
 
-    out = {}
-    for name, fn in sorted(entrymod.queries().items()):
+    names = sorted(entrymod.queries())
+    all_runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            fn = entrymod.queries()[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.count()
+            all_runs[name].append(round(time.monotonic() - t0, 3))
+    medians = {n: round(statistics.median(v), 3) for n, v in all_runs.items()}
+    return medians, all_runs
+
+
+def run_ivf_c256_bench(spark) -> dict:
+    """Large-C IVF index bench (judge r2 #2): C=256 over 500k synthetic
+    64-dim vectors — the broadcast-centroid assignment path (the literal
+    path would embed 256×64 literals per distance array and blow up
+    codegen). Reports index build (train 1 Lloyd pass + partitioned write)
+    and the warm partition-pruned probe."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.similarity import ivf_index_write, ivf_topk_indexed
+
+    n, dims, c = 500_000, 64, 256
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dims - 1}), d -> "
+            f"CAST(pmod(xxhash64(id * {dims} + d), 2001) - 1000 AS DOUBLE) / 1000.0)"
+        ).alias("embedding"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dss-ivf256-")
+    try:
+        src = os.path.join(tmp, "vecs")
+        vecs.write.parquet(src)
+        corpus = spark.read.parquet(src)
+        q = [float(x) for x in corpus.filter("vec_id = 0").collect()[0]["embedding"]]
+        idx = os.path.join(tmp, "idx")
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        out[name] = round(time.monotonic() - t0, 3)
-        _ = n
-    return out
+        cents = ivf_index_write(corpus, idx, n_centroids=c, iters=1)
+        build = time.monotonic() - t0
+        # cold probe warms the file listing; the warm probe is the served plan
+        ivf_topk_indexed(spark, idx, cents, q, k=10, nprobe=8).count()
+        t0 = time.monotonic()
+        got = ivf_topk_indexed(spark, idx, cents, q, k=10, nprobe=8).count()
+        probe = time.monotonic() - t0
+        n_lists = len(
+            [d for d in os.listdir(idx) if d.startswith("_list=")]
+        )
+        return {
+            "n_vectors": n,
+            "dims": dims,
+            "n_centroids": c,
+            "build_sec": round(build, 3),
+            "probe_warm_sec": round(probe, 3),
+            "probe_rows": got,
+            "lists_materialized": n_lists,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> int:
@@ -110,6 +198,7 @@ def main() -> int:
     n_events = int(os.environ.get("BENCH_EVENTS", "16000000"))
     n_keys = int(os.environ.get("BENCH_KEYS", "2000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     sf = 0.1
     for tag in ("0.001", "0.01", "0.1"):
         if f"sf{tag}" in sf_dir:
@@ -119,8 +208,11 @@ def main() -> int:
     # JVM/codegen warmup so the headline measures steady state, not startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    replay = run_replay_bench(spark, n_events, n_keys, n_batches)
-    queries = time_queries(spark, sf_dir)
+    replay = run_replay_bench(spark, n_events, n_keys, n_batches, runs)
+    queries, query_runs = time_queries(spark, sf_dir, runs)
+    ivf_c256 = None
+    if os.environ.get("BENCH_IVF_C256", "1") != "0":
+        ivf_c256 = run_ivf_c256_bench(spark)
 
     result = {
         "metric": "change_events_per_sec_sustained_merge",
@@ -129,6 +221,10 @@ def main() -> int:
         "queries": queries,
         "sf": sf,
         "replay": replay,
+        "replay_runs": replay["runs"],
+        "query_runs": query_runs,
+        "ivf_c256": ivf_c256,
+        "bench_runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     print(json.dumps(result))
