@@ -9,8 +9,11 @@ get from Iceberg:
 
 * **Atomic commits / snapshot isolation** — a snapshot is a JSON manifest
   listing every live data file; readers resolve the ``LATEST`` pointer once
-  and see a consistent file set; the pointer swap is ``os.replace`` (atomic
-  on POSIX). A half-written manifest is never referenced.
+  and see a consistent file set. The two storage primitives the protocol
+  needs (conditional put of a manifest version + atomic pointer swap) live
+  behind the ``CommitBackend`` seam (``lake/backend.py``): ``O_EXCL`` +
+  ``os.replace`` locally, a conditional-PUT catalog on an object store. A
+  half-written manifest is never referenced.
 * **Bucket partitioning** — rows are assigned ``bucket =
   pmod(xxhash64(doc_id), n_buckets)`` (Iceberg's ``bucket(N, doc_id)``
   transform). All writes and compactions are bucket-pruned.
@@ -67,6 +70,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_sync_spark.lake.backend import BackendCommitConflict, LocalFSBackend
 from data_sync_spark.schema import KEY_COL, as_key_cols
 
 _BUCKET = "_bucket"
@@ -75,8 +79,6 @@ _VER_TYPE = T.StructType(
     [T.StructField("off", T.LongType()), T.StructField("seq", T.IntegerType())]
 )
 _OP = "_op"  # delta row op: 'set' | 'drop' (tombstone); base rows → 'set'
-_MANIFEST_DIR = "_manifests"
-_LATEST = "LATEST"
 # Net-change batches below this row count are broadcast to every join with
 # the (much larger) target scan; bigger batches (initial backfill) fall back
 # to a shuffle join that AQE can still convert/skew-split at runtime.
@@ -137,9 +139,14 @@ def _delta_schema(schema: T.StructType) -> T.StructType:
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, backend=None):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # Commit-protocol storage seam (conditional put + atomic pointer
+        # swap) — LocalFSBackend on POSIX; an object-store/catalog backend
+        # plugs here without touching the concurrency protocol. See
+        # data_sync_spark/lake/backend.py.
+        self.backend = backend if backend is not None else LocalFSBackend()
 
     # ------------------------------------------------------------- lifecycle
     @classmethod
@@ -151,12 +158,10 @@ class LakeTable:
         n_buckets: int = 16,
         key_col: str = KEY_COL,
         compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
+        backend=None,
     ) -> "LakeTable":
-        table = cls(spark, path)
-        mdir = os.path.join(table.path, _MANIFEST_DIR)
-        os.makedirs(mdir, exist_ok=True)
-        if os.path.exists(os.path.join(mdir, _LATEST)):
-            raise FileExistsError(f"table already exists at {path}")
+        table = cls(spark, path, backend=backend)
+        table.backend.init_table(table.path)
         table._write_manifest(
             {
                 "format": 2,
@@ -174,25 +179,29 @@ class LakeTable:
         return table
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        table = cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, backend=None) -> "LakeTable":
+        table = cls(spark, path, backend=backend)
         table.current()  # raises if missing
         return table
 
     @classmethod
-    def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(path, _MANIFEST_DIR, _LATEST))
+    def exists(cls, path: str, backend=None) -> bool:
+        return (backend if backend is not None else LocalFSBackend()).exists(path)
 
     # ------------------------------------------------------------- manifests
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:08d}.json")
+    def _read_manifest(self, version: int) -> dict:
+        m = self.backend.read_manifest(self.path, version)
+        if m is None:
+            # message carries the table path so _is_missing_file_error
+            # classifies a concurrently-expired pinned snapshot as retryable
+            raise FileNotFoundError(
+                f"manifest v{version} does not exist under {self.path} "
+                "(expired or never committed)"
+            )
+        return m
 
     def current(self) -> dict:
-        latest = os.path.join(self.path, _MANIFEST_DIR, _LATEST)
-        with open(latest) as f:
-            version = int(f.read().strip())
-        with open(self._manifest_path(version)) as f:
-            manifest = json.load(f)
+        manifest = self._read_manifest(self.backend.read_pointer(self.path))
         if manifest.get("format", 1) != 2:
             raise RuntimeError(
                 f"table at {self.path} uses manifest format "
@@ -201,29 +210,19 @@ class LakeTable:
         return manifest
 
     def _write_manifest(self, manifest: dict) -> int:
-        """Write manifest ``version`` atomically and swing the pointer.
+        """Commit manifest ``version`` and swing the pointer.
 
-        O_EXCL on the manifest file detects a concurrent writer that claimed
-        the same version; the pointer swap via os.replace is atomic, so a
-        crash at any point leaves either the old or the new snapshot fully
-        visible, never a torn state.
+        The backend's conditional put detects a concurrent writer that
+        claimed the same version; the pointer swap is atomic, so a crash at
+        any point leaves either the old or the new snapshot fully visible,
+        never a torn state.
         """
         version = manifest["version"]
-        mpath = self._manifest_path(version)
         try:
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = os.path.join(self.path, _MANIFEST_DIR, f".latest.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.path, _MANIFEST_DIR, _LATEST))
+            self.backend.put_manifest_exclusive(self.path, version, manifest)
+        except BackendCommitConflict as e:
+            raise CommitConflict(str(e)) from e
+        self.backend.swap_pointer(self.path, version)
         return version
 
     def _commit_child(self, manifest: dict, **updates) -> dict:
@@ -325,11 +324,9 @@ class LakeTable:
             parent = m["parent"]
             if parent is None:
                 break
-            ppath = self._manifest_path(parent)
-            if not os.path.exists(ppath):
+            m = self.backend.read_manifest(self.path, parent)
+            if m is None:
                 break  # expired — end of retained history
-            with open(ppath) as f:
-                m = json.load(f)
         return out
 
     # ------------------------------------------------------------------ read
@@ -357,8 +354,7 @@ class LakeTable:
         if version is None:
             manifest = self.current()
         else:
-            with open(self._manifest_path(version)) as f:
-                manifest = json.load(f)
+            manifest = self._read_manifest(version)
         schema = T.StructType.fromJson(manifest["schema"])
         dschema = _delta_schema(schema)
         keys = as_key_cols(manifest.get("key_col", KEY_COL))
@@ -984,26 +980,19 @@ class LakeTable:
 
         current = self.current()
         keep_from = max(0, current["version"] - keep_last + 1)
-        mdir = os.path.join(self.path, _MANIFEST_DIR)
         kept_refs: set[str] = set()
         expired_refs: set[str] = set()
         removed_manifests = 0
-        for entry in sorted(os.listdir(mdir)):
-            if not entry.startswith("v"):
-                continue
-            version = int(entry[1:].split(".")[0])
-            mpath = os.path.join(mdir, entry)
-            try:
-                with open(mpath) as f:
-                    m = json.load(f)
-            except FileNotFoundError:  # concurrent expire
+        for version in self.backend.list_versions(self.path):
+            m = self.backend.read_manifest(self.path, version)
+            if m is None:  # concurrent expire
                 continue
             refs = kept_refs if version >= keep_from else expired_refs
             for e in m["files"].values():
                 refs.update(e.get("base", []))
                 refs.update(e.get("delta", []))
             if version < keep_from:
-                os.unlink(mpath)
+                self.backend.delete_manifest(self.path, version)
                 removed_manifests += 1
         data_dir = os.path.join(self.path, "data")
         removed_files = 0
