@@ -596,7 +596,9 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir, names=("documents",))
     media = spark.sql(MEDIA_SQL)
-    feats = extract_features(media)
+    # codec pinned to the deterministic fake: the DuckDB twin is md5
+    # arithmetic, which must stay valid even in a Pillow-equipped container
+    feats = extract_features(media, codec="fake")
     return feats.select(
         "media_id",
         "kind",

@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested — schema, partition sizing,
-UDF signatures, batch shapes; only the media codecs are stubbed because this
-container ships no image/audio libraries. Each stub is a deterministic fake
-behind ``_HAS_CODECS`` so the pipeline runs end-to-end in tests; a
-deployment swaps the fake for Pillow/torchaudio/pyav inside the same
-``mapInPandas`` body (the Spark plan is unchanged).
+UDF signatures, batch shapes. Codecs: the IMAGE path is real whenever
+Pillow is importable (``_HAS_CODECS``); audio/video (and image in
+codec-less containers like this sandbox) fall back to a deterministic fake
+so the pipeline runs end-to-end everywhere. A deployment swaps in
+torchaudio/pyav inside the same ``mapInPandas`` body — the Spark plan is
+unchanged.
 
 Scale notes: media rows are large (MBs) — the iterator-of-batches form of
 ``mapInPandas`` keeps memory bounded to one Arrow batch per task
@@ -17,13 +18,19 @@ Scale notes: media rows are large (MBs) — the iterator-of-batches form of
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_HAS_CODECS = False  # no PIL/libav in this container; deterministic fakes
+try:  # real image codec if the container ships Pillow
+    from PIL import Image as _PILImage  # noqa: F401
+
+    _HAS_CODECS = True
+except Exception:  # pragma: no cover - sandbox has no PIL
+    _HAS_CODECS = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,19 +54,38 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_cap(spark, batch_rows: int):
+    """Temporarily cap the Arrow batch size (fat media rows) and RESTORE the
+    session conf afterwards — the conf is session-wide in Spark, so leaking
+    it would silently resize every later pandas-UDF job."""
+    try:
+        old = spark.conf.get(_ARROW_BATCH_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(_ARROW_BATCH_KEY, str(batch_rows))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, old)
+
 
 def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | None:
-    """Deterministic stand-in for decode→feature-extract. A real deployment
-    replaces this with e.g. PIL.Image.open + a vision model preprocessor;
-    everything around it (batching, schema, partitioning) stays identical.
+    """Deterministic stand-in for decode→feature-extract (audio/video, and
+    image when Pillow is absent). Everything around it (batching, schema,
+    partitioning) is identical to the real path.
 
     feature[d] = (int(md5(payload[:256] || ':' || d)[:8], 16) % 1000)/1000 —
     md5 over the raw byte prefix, so the DuckDB oracle replicates it
     bit-for-bit over the same blob (``__spark_entry__`` media_features)."""
     if payload is None:
         return None
-    if _HAS_CODECS:  # pragma: no cover
-        raise NotImplementedError("real codecs are not available in this container")
     import hashlib
 
     prefix = bytes(payload[:256])
@@ -70,22 +96,56 @@ def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | 
     return out
 
 
-def extract_features(df: DataFrame, batch_rows: int | None = None) -> DataFrame:
+def _pil_image_features(payload: bytes, dim: int = 8) -> list[float] | None:
+    """Real image decode → coarse luminance features: grayscale 16×16
+    thumbnail, ``dim`` block means in [0, 1]. Undecodable bytes → None
+    (counted as decode_ok=False downstream)."""  # pragma: no cover - no PIL here
+    from io import BytesIO
+
+    import numpy as np
+
+    try:
+        img = _PILImage.open(BytesIO(bytes(payload))).convert("L").resize((16, 16))
+    except Exception:
+        return None
+    px = np.asarray(img, dtype="float64").reshape(-1) / 255.0
+    return [round(float(b.mean()), 4) for b in np.array_split(px, dim)]
+
+
+def _decode_features(
+    payload: bytes | None, kind: str, dim: int = 8, codec: str = "auto"
+) -> list[float] | None:
+    """Dispatch: real Pillow decode for images when available (and
+    ``codec='auto'``); deterministic fake otherwise. ``codec='fake'`` pins
+    the fake — the media_features CONTRACT query uses it so its DuckDB
+    oracle (md5 arithmetic) stays valid even in Pillow-equipped containers."""
+    if payload is None:
+        return None
+    if codec == "auto" and _HAS_CODECS and kind == "image":
+        return _pil_image_features(payload, dim)  # pragma: no cover - no PIL here
+    return _fake_decode_features(payload, dim)
+
+
+def extract_features(
+    df: DataFrame, batch_rows: int | None = None, codec: str = "auto"
+) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas (the F4-style
     escape hatch for logic Catalyst can't express). One Arrow batch in
-    memory per task. Pass ``batch_rows`` to cap the Arrow batch size for fat
-    media rows — note this sets the SESSION-wide
-    ``arrow.maxRecordsPerBatch`` (Spark has no per-query knob), so it
-    affects later pandas-UDF jobs too; leave None to keep the session
-    setting."""
-    if batch_rows is not None:
-        df.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-        )
+    memory per task.
+
+    ``batch_rows``: cap the Arrow batch size for fat media rows. Spark has
+    no per-query knob, so the capped decode is EXECUTED eagerly under a
+    temporarily-set session conf (restored afterwards — asserted by
+    ``tests/test_textops.py``) and the materialized result is returned;
+    with ``batch_rows=None`` the plan stays lazy under the session setting.
+    """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(_fake_decode_features)
+            feats = [
+                _decode_features(p, k, codec=codec)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,12 +153,21 @@ def extract_features(df: DataFrame, batch_rows: int | None = None) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ).astype("int32"),
-                    "feature": feats,
-                    "decode_ok": feats.map(lambda f: f is not None),
+                    "feature": pd.Series(feats, index=pdf.index, dtype="object"),
+                    "decode_ok": pd.Series(
+                        [f is not None for f in feats], index=pdf.index
+                    ),
                 }
             )
 
-    return df.mapInPandas(process, schema=FEATURE_SCHEMA)
+    out = df.mapInPandas(process, schema=FEATURE_SCHEMA)
+    if batch_rows is None:
+        return out
+    with arrow_batch_cap(df.sparkSession, batch_rows):
+        # eager: the cap must hold at EXECUTION time; features are small
+        # (id + dim floats), so materializing them is cheap even when the
+        # input blobs are not
+        return out.localCheckpoint(eager=True)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
