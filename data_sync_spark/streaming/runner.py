@@ -144,6 +144,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     event_schema: T.StructType = EVENT_SCHEMA,
     fail_after_batches: int | None = None,
+    feed: DataFrame | None = None,
 ):
     """Run the streaming ingest. ``available_now=True`` drains the feed and
     stops (bounded replay, the bench/test mode); False tails forever.
@@ -151,6 +152,10 @@ def run_stream(
     ``fail_after_batches`` injects a crash after N merges (post-commit,
     pre-checkpoint) for the crash/resume tests — the canonical worst case
     for exactly-once.
+
+    ``feed``: a pre-built streaming DataFrame in the engine event schema
+    (e.g. ``wire.kafka_change_feed`` / ``wire.kafka_recorded_feed``);
+    defaults to the parquet file feed over ``feed_path``.
     """
     sink = MetricsSink(table.path)
     seen = {"n": 0}
@@ -161,9 +166,13 @@ def run_stream(
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError(f"injected crash after {seen['n']} batches")
 
-    feed = file_change_feed(
-        spark, feed_path, schema=event_schema, max_files_per_trigger=max_files_per_trigger
-    )
+    if feed is None:
+        feed = file_change_feed(
+            spark,
+            feed_path,
+            schema=event_schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
     writer = (
         feed.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

@@ -118,6 +118,22 @@ def parse_maxwell(
     )
 
 
+# The EXACT row shape spark-sql-kafka emits from .load() — the rehearsal
+# source below replays recorded frames with this schema so everything after
+# the socket is the production path.
+KAFKA_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
 def kafka_change_feed(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -133,6 +149,26 @@ def kafka_change_feed(
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
         .load()
+    )
+    return parse_maxwell(raw, value_col="value", kafka_offset_col="offset")
+
+
+def kafka_recorded_feed(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Broker-less rehearsal of :func:`kafka_change_feed` (no Kafka in this
+    sandbox): a streaming read over RECORDED frames — parquet rows with the
+    exact ``KAFKA_SOURCE_SCHEMA`` shape the Kafka source's ``.load()``
+    emits (binary key/value, topic, partition, offset, timestamp) — piped
+    through the SAME ``parse_maxwell(value, offset)`` call. Only the socket
+    is unexercised; decode, quarantine, net-effect, and merge all run the
+    production path (``tests/test_kafka_rehearsal.py`` drives it to a
+    final-state oracle match)."""
+    raw = (
+        spark.readStream.schema(KAFKA_SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(path)
     )
     return parse_maxwell(raw, value_col="value", kafka_offset_col="offset")
 
