@@ -134,8 +134,9 @@ def cmd_verify(args) -> int:
     table = LakeTable.load(spark, args.table)
     # composite-key tables: the feed carries the extra key columns too —
     # extend the fixed event schema so they are read (and replay keys on
-    # the table's full key list, not just doc_id)
-    feed_schema = EVENT_SCHEMA
+    # the table's full key list, not just doc_id). COPY first: StructType.add
+    # mutates in place and would poison the module-global EVENT_SCHEMA.
+    feed_schema = T.StructType(list(EVENT_SCHEMA.fields))
     known = {f.name for f in feed_schema.fields}
     for k in table.key_cols:
         if k not in known:

@@ -1301,7 +1301,8 @@ def _union_schema(base: T.StructType, extra) -> T.StructType:
     evolution is the only schema change, so unioning field lists rebases a
     commit's schema over a concurrent writer's evolution."""
     names = {f.name for f in base.fields}
-    out = base
+    # copy: StructType.add mutates in place — never mutate the caller's base
+    out = T.StructType(list(base.fields))
     fields = extra.fields if isinstance(extra, T.StructType) else extra
     for f in fields:
         if f.name not in names:

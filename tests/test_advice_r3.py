@@ -208,6 +208,14 @@ def test_cli_verify_composite_key(spark, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     report = json.loads(out)
     assert rc == 0 and report["ok"], report
+    # StructType.add mutates in place — the verify must NOT have poisoned the
+    # module-global event schema for the rest of the process (session-order
+    # regression: this broke 24 later tests before the copy was added)
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    assert [f.name for f in EVENT_SCHEMA.fields] == [
+        "op", "doc_id", "log_offset", "seq", "tokens", "n_tok", "source",
+    ]
     # the composite state genuinely exercises the tuple key: same doc_id
     # exists under multiple tenants
     dup = table.read().groupBy("doc_id").count().filter("count > 1").count()
