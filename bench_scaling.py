@@ -46,6 +46,7 @@ r = run_replay_bench(
     int(os.environ["BENCH_EVENTS"]),
     int(os.environ["BENCH_KEYS"]),
     int(os.environ["BENCH_BATCHES"]),
+    runs=int(os.environ.get("BENCH_RUNS", "1")),
 )
 print("RESULT " + json.dumps({"cpus": cpus, "calib_sec": round(calib, 3), **r}))
 """
