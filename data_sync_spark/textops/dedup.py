@@ -22,6 +22,30 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _union_find(pairs: list[tuple]) -> dict:
+    """Driver-side union-find with path compression; returns
+    {node: min member of its component} — the same fixpoint the distributed
+    min-label propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the representative IS the min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
 
 # MinHash permutation field: the Mersenne prime 2^31 - 1. Base hashes and
 # permutation products stay under 2^62, so ANSI-mode 64-bit arithmetic can
@@ -302,6 +326,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate GROUP resolution: connected components over candidate
     pairs → ``(doc_id, group_id)`` with group_id = min member id (the
@@ -323,6 +348,13 @@ def connected_components(
     Each round is two joins + one hash aggregation on uniformly distributed
     ids; ``localCheckpoint`` truncates the growing lineage so round N's plan
     doesn't replay rounds 1..N-1.
+
+    Graphs at or below ``driver_max_edges`` distinct undirected pairs skip
+    the iteration entirely: collect + union-find on the driver (bounded:
+    ~32 B/edge), one job instead of rounds×5. The candidate-pair output of
+    an LSH pass is usually tiny relative to the corpus, so this is the
+    common case; the distributed path is the 100 TB case. Both produce the
+    identical (doc, min-member) mapping.
     """
     edges0 = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -334,6 +366,21 @@ def connected_components(
     # pairs); per-round cost is dominated by task scheduling, so run the
     # propagation at a reduced width — AQE coalesces the joins to match
     n_edges = edges0.count()
+    if n_edges <= 2 * driver_max_edges:  # directed count = 2× pairs
+        rows = edges0.filter(F.col("src") < F.col("dst")).collect()
+        edges0.unpersist()
+        labels = _union_find([(r["src"], r["dst"]) for r in rows])
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver-union-find"
+        spark = pairs.sparkSession
+        schema = T.StructType(
+            [
+                T.StructField(a_col, pairs.schema[a_col].dataType, False),
+                T.StructField("group_id", pairs.schema[a_col].dataType, False),
+            ]
+        )
+        return spark.createDataFrame(sorted(labels.items()), schema=schema)
     width = max(2, min(int(edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
     # persist (NOT localCheckpoint): the plan keeps the hashpartitioning(dst)
     # node, so the per-round neighbor join shuffles only the small labels

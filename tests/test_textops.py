@@ -359,7 +359,15 @@ def test_connected_components_high_diameter(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     stats = {}
-    out = connected_components(path, max_iter=25, stats=stats)
+    # driver_max_edges=0 forces the DISTRIBUTED path (the graph is small
+    # enough for the driver union-find shortcut, which is tested separately)
+    out = connected_components(path, max_iter=25, stats=stats, driver_max_edges=0)
     assert stats["rounds"] <= 15, stats
     bad = out.filter("group_id <> 0").count()
     assert bad == 0, f"{bad} nodes not resolved to the chain min"
+
+    # the driver union-find shortcut must produce the identical mapping
+    stats2 = {}
+    out2 = connected_components(path, max_iter=25, stats=stats2)
+    assert stats2.get("mode") == "driver-union-find"
+    assert out2.exceptAll(out).count() == 0 and out.exceptAll(out2).count() == 0
