@@ -220,6 +220,64 @@ def _q_cdc_composite_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     return net.select("tenant", "doc_id", "log_offset", "seq", "m_action", "u_action")
 
 
+# lang column that appears mid-stream (schema evolution): same text on both
+# engines. KEYNUM extracts the numeric key from 'doc-%06d' (substring is
+# 1-based in Spark SQL and DuckDB alike).
+LANG_EXPR = (
+    "CASE WHEN n_tok % 3 = 0 THEN 'en' "
+    "WHEN n_tok % 3 = 1 THEN 'zh' ELSE 'code' END"
+)
+KEYNUM_EXPR = "CAST(substring(doc_id, 5, 6) AS INT)"
+
+
+def _q_cdc_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution through the REAL engine (S5/C4 parity —
+    the reference tolerates drift via a 10s-TTL DESC cache,
+    ``mysql_handler.go:282-294``; here the manifest owns the schema and
+    MERGE auto-evolves): batch 0 merges the base payload, batch 1 arrives
+    carrying a new ``lang`` column → ADD COLUMN. Batches are split by KEY
+    (key number % 7 == 0 evolves) so the other keys' winning rows live in
+    pre-evolution data files — the final read must null-fill ``lang`` for
+    them schema-on-read, while evolved keys carry real values. Output must
+    equal the oracle's LWW replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+
+    ch = _changes(spark, sf_dir)
+    batch0 = ch.filter(F.expr(f"{KEYNUM_EXPR} % 7 <> 0"))
+    batch1 = ch.filter(F.expr(f"{KEYNUM_EXPR} % 7 = 0")).withColumn(
+        "lang", F.expr(LANG_EXPR)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+        ]
+    )
+    cfg = PipelineConfig()  # evolve_schema=True
+    tmp = tempfile.mkdtemp(prefix="dss-evolve-")
+    try:
+        table = LakeTable.create(spark, os.path.join(tmp, "t"), schema, n_buckets=8)
+        table.merge(
+            net_changes(batch0, cfg, table.schema), app_id="ev", batch_id=0, mor=True
+        )
+        res = table.merge(
+            net_changes(batch1, cfg, table.schema), app_id="ev", batch_id=1, mor=True
+        )
+        assert "lang" in res.evolved_columns, res
+        out = table.read().select("doc_id", "source", "n_tok", "lang")
+        keep = tempfile.mkdtemp(prefix="dss-evolve-out-")
+        out.write.mode("overwrite").parquet(os.path.join(keep, "result"))
+        return spark.read.parquet(os.path.join(keep, "result"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Feed with injected poison: unknown ops (heartbeats/DDL) and null keys /
 # null ordering keys (unparseable positions) — same text on both engines.
 CHANGES_POISON_SQL = """
@@ -641,6 +699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_append_state": _q_cdc_append_state,
     "cdc_composite_key": _q_cdc_composite_key,
     "cdc_composite_net": _q_cdc_composite_net,
+    "cdc_evolve": _q_cdc_evolve,
     "cdc_quarantine": _q_cdc_quarantine,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
@@ -746,6 +805,18 @@ ORACLES: dict[str, str] = {
         FROM changes
         QUALIFY row_number() OVER (PARTITION BY tenant, doc_id
                                    ORDER BY log_offset DESC, seq DESC) = 1
+    """,
+    "cdc_evolve": f"""
+        {_CH},
+        win AS (
+          SELECT c.doc_id, c.op, c.source, c.n_tok,
+                 CASE WHEN {KEYNUM_EXPR.replace("doc_id", "c.doc_id")} % 7 = 0
+                      THEN {LANG_EXPR.replace("n_tok", "c.n_tok")} END AS lang
+          FROM changes c
+          QUALIFY row_number() OVER (PARTITION BY c.doc_id
+                                     ORDER BY c.log_offset DESC, c.seq DESC) = 1
+        )
+        SELECT doc_id, source, n_tok, lang FROM win WHERE op <> 'delete'
     """,
     "cdc_quarantine": f"""
         WITH changes AS ({CHANGES_POISON_SQL})
