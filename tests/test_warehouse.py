@@ -124,3 +124,29 @@ def test_single_pass_routing_mixed_modes(spark, tmp_path):
             pdf[pdf.source == src], cfg, target_cols=TARGET_COLS
         )
         assert_state_equal(wh.table(src).read().toPandas(), expected, msg=src)
+
+
+def test_single_pass_plan_has_one_shuffle(spark, tmp_path):
+    """Plan-shape pin for PLANS.md §10: the routed net-collapse (all-upsert
+    config) over a distributed source is ONE hash aggregation — exactly one
+    Exchange in the physical plan regardless of how many sources the batch
+    carries."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    src = str(tmp_path / "events")
+    change_feed(spark, 2_000, n_keys=150, seed=91).repartition(8).write.parquet(src)
+    events = spark.read.parquet(src)
+    net = net_changes(
+        events.withColumn("_route", F.col("source")),
+        PipelineConfig(),
+        TARGET_SCHEMA,
+        route_col="_route",
+    )
+    # executedPlan (post-EnsureRequirements) — sparkPlan() has no exchanges
+    plan = net._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan[:2000]}"
