@@ -66,7 +66,7 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Full-engine replay on sf0.001: derived change feed → filter/route
-    pipeline → net-effect collapse → 4 chunked COW MERGEs into a LakeTable →
+    pipeline → net-effect collapse → 4 chunked MOR MERGEs into a LakeTable →
     final state (with the applied-version lineage column)."""
     from pyspark.sql import functions as F
 

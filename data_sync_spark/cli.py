@@ -69,6 +69,15 @@ def cmd_replay(args) -> int:
         table = LakeTable.load(spark, args.table)
     else:
         table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    feed = None
+    if getattr(args, "wire", "events") == "maxwell":
+        # recorded Kafka frames (KAFKA_SOURCE_SCHEMA parquet) → Maxwell
+        # decode — the production wire path minus the socket
+        from data_sync_spark.streaming.wire import kafka_recorded_feed
+
+        feed = kafka_recorded_feed(
+            spark, args.feed, max_files_per_trigger=args.files_per_trigger
+        )
     q = run_stream(
         spark,
         args.feed,
@@ -77,6 +86,7 @@ def cmd_replay(args) -> int:
         checkpoint_dir=args.checkpoint,
         app_id=args.app_id,
         max_files_per_trigger=args.files_per_trigger,
+        feed=feed,
     )
     q.awaitTermination()
     recs = MetricsSink(table.path).records()
@@ -281,6 +291,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--app-id", default="stream")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--files-per-trigger", type=int, default=1)
+    r.add_argument(
+        "--wire",
+        choices=("events", "maxwell"),
+        default="events",
+        help="feed format: engine-event parquet, or recorded Kafka frames "
+        "(binary key/value + topic/partition/offset) decoded as Maxwell JSON",
+    )
     r.set_defaults(fn=cmd_replay)
 
     b = sub.add_parser("backfill", help="chunked catch-up (sync_direct analog)")

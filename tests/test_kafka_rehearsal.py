@@ -175,3 +175,31 @@ def test_kafka_decode_drops_poison_only(spark, tmp_path):
     assert list(got["doc_id"]) == list(exp["doc_id"])
     assert list(got["op"]) == list(exp["op"])
     assert [int(x) for x in got["seq"]] == [int(x) for x in exp["seq"]]
+
+
+def test_cli_replay_maxwell_wire(spark, tmp_path, capsys):
+    """CLI surface for the wire path: `replay --wire maxwell` consumes
+    recorded Kafka frames end-to-end to an oracle-equal table."""
+    import json as _json
+
+    from data_sync_spark.cli import main
+
+    cfg = PipelineConfig()
+    events = change_feed(spark, 800, n_keys=80, seed=97).toPandas()
+    frames_dir = str(tmp_path / "frames")
+    _record_frames(spark, events, frames_dir, chunks=2)
+    rc = main(
+        [
+            "replay",
+            "--wire", "maxwell",
+            "--feed", frames_dir,
+            "--table", str(tmp_path / "t"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--buckets", "4",
+        ]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"] > 0, out
+    table = LakeTable.load(spark, str(tmp_path / "t"))
+    expected = replay_to_pandas(events, cfg, target_cols=TARGET_COLS)
+    assert_state_equal(table.read().toPandas(), expected)
