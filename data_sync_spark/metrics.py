@@ -19,22 +19,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def partition_lineage(batch_df: DataFrame) -> list[dict]:
+def partition_lineage_df(
+    batch_df: DataFrame, partition_col: str | None = None
+) -> DataFrame:
+    """Per-partition lineage as a DataFrame: offset range + event count per
+    source partition of the micro-batch.
+
+    ``partition_col`` names an explicit source-partition column (the Kafka
+    ``partition`` of each record — the faithful reading of "source offset
+    ranges per partition"); without one, the Spark task partition id stands
+    in (exact for feeds whose input splits ARE the source partitions)."""
+    key = (
+        F.col(partition_col) if partition_col is not None else F.spark_partition_id()
+    ).alias("partition")
+    return batch_df.groupBy(key).agg(
+        F.min("log_offset").alias("offset_min"),
+        F.max("log_offset").alias("offset_max"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+def partition_lineage(
+    batch_df: DataFrame, partition_col: str | None = None
+) -> list[dict]:
     """Offset range + event count per source partition of the micro-batch.
 
     One small aggregation (#partitions rows) — the per-partition
     applied/skipped accounting the north star asks for rides on this plus
     the MergeResult counts.
     """
-    rows = (
-        batch_df.groupBy(F.spark_partition_id().alias("partition"))
-        .agg(
-            F.min("log_offset").alias("offset_min"),
-            F.max("log_offset").alias("offset_max"),
-            F.count(F.lit(1)).alias("events"),
-        )
-        .collect()
-    )
+    rows = partition_lineage_df(batch_df, partition_col).collect()
     return [r.asDict() for r in sorted(rows, key=lambda r: r["partition"])]
 
 
