@@ -60,6 +60,27 @@ MAXWELL_SCHEMA = T.StructType(
 )
 
 
+def _filter_no_pushdown(df: DataFrame, pred: "F.Column") -> DataFrame:
+    """Apply ``pred`` WITHOUT letting Catalyst push it below the decode
+    projection. Projections are 1:1, so ``PushPredicateThroughNonJoin``
+    pushes even nondeterministic conditions through them — the only fence
+    it respects is a nondeterministic column IN the project list
+    (``fields.forall(_.deterministic)``), and that column must be
+    referenced by the filter or ColumnPruning strips it and un-fences the
+    plan. Hence: project an always-true rand guard, filter on it AND the
+    real predicate, drop it. Without the fence, a filter on decoded columns
+    is substituted through the ``_env`` alias and re-evaluates ``from_json``
+    (and, for derived feeds, the upstream ``to_json``) 2-3 extra times PER
+    ROW below the projection — measured 2.4× on the decode path. The fence
+    costs one rand() per row; nothing downstream of a JSON decode can use
+    source-level pushdown anyway (Kafka/file scans cannot evaluate
+    from_json predicates). ``rand >= -1`` rather than ``rand.isNotNull``:
+    Rand is null-intolerant, so NullPropagation would fold the isNotNull
+    form to TRUE."""
+    fenced = df.withColumn("_fence", F.rand(42))
+    return fenced.filter((F.col("_fence") >= F.lit(-1.0)) & pred).drop("_fence")
+
+
 def position_to_offset(position_col) -> "F.Column":
     """Maxwell ``position`` = ``<binlog file>:<byte offset>`` → a single
     monotonically comparable long: file number * 2^40 + byte offset (binlog
@@ -94,7 +115,7 @@ def parse_maxwell(
     doc_id = F.coalesce(
         F.col("_env.data.doc_id"), F.element_at(F.col("_env.primary_key"), 1)
     )
-    return env.select(
+    out = env.select(
         F.col("_env.type").alias("op"),
         doc_id.alias("doc_id"),
         log_offset.alias("log_offset"),
@@ -108,13 +129,17 @@ def parse_maxwell(
         # route dimension: the Maxwell table name is the reference's routing
         # key; fall back to the payload's source column
         F.coalesce(F.col("_env.data.source"), F.col("_env.table")).alias("source"),
-    ).filter(
-        # a well-formed op whose position failed to parse must NOT enter LWW
-        # dedup with a null ordering key (nondeterministic winner) — drop it
-        # here; the pipeline guard (pipeline.valid_event_pred) also counts
-        # such rows as quarantined when they arrive via other feeds
+    )
+    # a well-formed op whose position failed to parse must NOT enter LWW
+    # dedup with a null ordering key (nondeterministic winner) — drop it
+    # here; the pipeline guard (pipeline.valid_event_pred) also counts
+    # such rows as quarantined when they arrive via other feeds. The fence
+    # makes the filter evaluate against the ONE parsed _env instead of
+    # re-substituted from_json calls below the projection
+    return _filter_no_pushdown(
+        out,
         F.col("op").isin("insert", "update", "delete")
-        & F.col("log_offset").isNotNull()
+        & F.col("log_offset").isNotNull(),
     )
 
 
@@ -224,4 +249,4 @@ def parse_maxwell_composite(
     pred = F.col("op").isin("insert", "update", "delete") & F.col(
         "log_offset"
     ).isNotNull()
-    return out.filter(pred)
+    return _filter_no_pushdown(out, pred)

@@ -107,3 +107,33 @@ def test_parse_maxwell_composite_key(spark):
     ]
     assert out[1]["tokens"] is None  # delete carries only the key
     assert [int(x) for x in out[0]["tokens"]] == [1, 2]
+
+
+def test_maxwell_decode_parses_json_once(spark):
+    """Plan pin for the pushdown fence (_filter_no_pushdown): the op/offset
+    filter must NOT be substituted below the decode projection — from_json
+    appears exactly ONCE in the physical plan (unfenced, Catalyst
+    re-evaluates pruned from_json copies inside the pushed filter: 2-3
+    JSON parses per row on the hot path)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.streaming.wire import parse_maxwell, parse_maxwell_composite
+
+    # Range source (not a LocalRelation): ConvertToLocalRelation would
+    # otherwise eagerly fold the whole single-row plan away
+    raw = spark.range(4).select(
+        F.concat(
+            F.lit('{"type":"insert","position":"master.000001:'),
+            F.col("id").cast("string"),
+            F.lit('"}'),
+        ).alias("value")
+    )
+    for parsed in (
+        parse_maxwell(raw),
+        parse_maxwell_composite(raw, ["tenant", "doc_id"]),
+    ):
+        plan = parsed._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("from_json")
+        assert n == 1, f"expected exactly 1 from_json in plan, got {n}:\n{plan[:1500]}"
+        # and the fence column does not leak into the output
+        assert "_fence" not in parsed.columns
