@@ -32,6 +32,9 @@ class PipelineConfig:
     transform: str | None = None
     # keep unknown event columns and evolve the target schema
     evolve_schema: bool = True
+    # max concurrent per-table MERGE jobs in multi-table batches (reference
+    # per-table goroutines, mysql_handler.go:528-539); 1 = sequential
+    merge_parallelism: int = 4
 
     def to_json(self) -> str:
         return json.dumps(asdict(self))

@@ -123,22 +123,41 @@ def apply_batch_multi(
             key_cols=list(key_sig),
             route_col="_route",
         ).persist()
+
+        def _merge_one(src: str) -> tuple[str, MergeResult]:
+            net = net_all.filter(F.col("_route") == src).drop("_route")
+            res = tables[src].merge(
+                net,
+                app_id=app_id,
+                batch_id=batch_id,
+                auto_evolve=cfg.evolve_schema,
+                mor=all_upsert(cfg),
+            )
+            # per-table metrics record (same JSONL the single-table path
+            # emits, so CLI `metrics` / Prometheus export work per table)
+            MetricsSink(tables[src].path).emit(
+                {"app_id": app_id, "batch_id": batch_id, **res.as_dict()}
+            )
+            return src, res
+
         try:
             net_all.count()  # materialize the ONE collapse before slicing
-            for src in srcs:
-                net = net_all.filter(F.col("_route") == src).drop("_route")
-                results[src] = tables[src].merge(
-                    net,
-                    app_id=app_id,
-                    batch_id=batch_id,
-                    auto_evolve=cfg.evolve_schema,
-                    mor=all_upsert(cfg),
-                )
-                # per-table metrics record (same JSONL the single-table path
-                # emits, so CLI `metrics` / Prometheus export work per table)
-                MetricsSink(tables[src].path).emit(
-                    {"app_id": app_id, "batch_id": batch_id, **results[src].as_dict()}
-                )
+            # per-table merges go to DIFFERENT tables (independent manifests)
+            # and read slices of the shared cache — issue them concurrently
+            # (reference per-table goroutines, D4) so batch wall time is
+            # ~max(merge), not Σ(merge); the rebase protocol already
+            # tolerates concurrent committers (tests/test_concurrent.py)
+            workers = max(1, min(int(getattr(cfg, "merge_parallelism", 1)), len(srcs)))
+            if workers == 1 or len(srcs) == 1:
+                for src in srcs:
+                    s, r = _merge_one(src)
+                    results[s] = r
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for s, r in pool.map(_merge_one, srcs):
+                        results[s] = r
         finally:
             net_all.unpersist()
     return {
