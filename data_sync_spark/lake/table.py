@@ -160,6 +160,16 @@ class LakeTable:
         compact_threshold: int = DEFAULT_COMPACT_THRESHOLD,
         backend=None,
     ) -> "LakeTable":
+        # the '_' prefix is reserved for engine-internal columns (_ver,
+        # _route, ...): the pipeline excludes such names from payload row
+        # images and schema_conform force-carries them, so a user column
+        # named '_x' would be silently null-filled — fail loudly instead
+        bad = [f.name for f in schema.fields if f.name.startswith("_")]
+        if bad:
+            raise ValueError(
+                f"schema field names must not start with '_' (reserved for "
+                f"internal columns): {bad}"
+            )
         table = cls(spark, path, backend=backend)
         table.backend.init_table(table.path)
         table._write_manifest(
@@ -1293,7 +1303,18 @@ def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
         return False
     if table_path is None:
         return True
-    return os.path.abspath(table_path) in s
+    # The JVM can render the path in forms that differ from what we stored:
+    # symlink-resolved tmp dirs (macOS /tmp → /private/tmp), URI-escaped
+    # chars, or truncated error-class messages. Match abspath OR realpath,
+    # with the table dir's basename as a last-resort fallback — a false
+    # positive only converts a fatal error into one bounded retry, while a
+    # false negative turns a retryable concurrent-expire into a hard fail.
+    ap = os.path.abspath(table_path)
+    rp = os.path.realpath(table_path)
+    if ap in s or rp in s:
+        return True
+    base = os.path.basename(ap.rstrip("/"))
+    return bool(base) and f"/{base}/" in s
 
 
 def _union_schema(base: T.StructType, extra) -> T.StructType:

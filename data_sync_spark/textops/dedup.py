@@ -367,7 +367,10 @@ def connected_components(
     # propagation at a reduced width — AQE coalesces the joins to match
     n_edges = edges0.count()
     if n_edges <= 2 * driver_max_edges:  # directed count = 2× pairs
-        rows = edges0.filter(F.col("src") < F.col("dst")).collect()
+        # <= (not <): a self-pair (a, a) must reach the union-find so the
+        # isolated node still appears as (a, a) in the output — the
+        # distributed path emits it, and the two modes must agree
+        rows = edges0.filter(F.col("src") <= F.col("dst")).collect()
         edges0.unpersist()
         labels = _union_find([(r["src"], r["dst"]) for r in rows])
         if stats is not None:
