@@ -56,7 +56,13 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "1m",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # 16g, not the 8g this started with: local[32] puts all executor
+        # work in the driver JVM, and 8g showed GCLocker alloc stalls on
+        # every heavy bench (cold replay runs measured ~20% slower than
+        # with a roomier heap; one iterative-join experiment OOMed
+        # outright). The machine has 128 GB; on a real cluster this knob
+        # is per-executor memory instead.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
     # Shuffle/spill through tmpfs when available: the sandbox's /tmp sits on
     # a virtual disk whose bandwidth serializes multi-core shuffles; a real
