@@ -1313,8 +1313,17 @@ def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
     rp = os.path.realpath(table_path)
     if ap in s or rp in s:
         return True
-    base = os.path.basename(ap.rstrip("/"))
-    return bool(base) and f"/{base}/" in s
+    # Fallback must carry enough path entropy: every LakeTable stores files
+    # under <table>/data/, so a bare-basename match (e.g. a table named
+    # 'data' or 'wh') would claim missing-file errors from unrelated
+    # tables/feeds and turn genuine hard failures into retry-then-fail
+    # cycles. Require parent dir + basename together.
+    for p in {ap, rp}:
+        base = os.path.basename(p.rstrip("/"))
+        parent = os.path.basename(os.path.dirname(p.rstrip("/")))
+        if base and parent and f"/{parent}/{base}/" in s:
+            return True
+    return False
 
 
 def _union_schema(base: T.StructType, extra) -> T.StructType:

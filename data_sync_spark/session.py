@@ -15,6 +15,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: half of available RAM, capped at 16g, floored
+    at 2g. 16g is right for the 128 GB bench host, but baking it in would
+    make ``get_spark`` fail to start (or swap) on a <20 GB CI container —
+    derive it instead; ``SPARK_GRAFT_DRIVER_MEM`` overrides."""
+    try:
+        import re
+
+        with open("/proc/meminfo") as f:
+            m = re.search(r"MemAvailable:\s+(\d+) kB", f.read())
+        avail_gb = int(m.group(1)) / (1024 * 1024)
+    except Exception:
+        return "8g"  # no /proc (macOS etc.) — conservative static default
+    return f"{max(2, min(16, int(avail_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "data-sync-spark",
     master: str | None = None,
@@ -56,13 +72,14 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.files.openCostInBytes": "1m",
         "spark.ui.enabled": "false",
-        # 16g, not the 8g this started with: local[32] puts all executor
-        # work in the driver JVM, and 8g showed GCLocker alloc stalls on
-        # every heavy bench (cold replay runs measured ~20% slower than
-        # with a roomier heap; one iterative-join experiment OOMed
-        # outright). The machine has 128 GB; on a real cluster this knob
-        # is per-executor memory instead.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # Target 16g (local[32] puts all executor work in the driver JVM;
+        # 8g showed GCLocker alloc stalls on every heavy bench — cold
+        # replays ~20% slower, one iterative-join experiment OOMed), but
+        # derive from the machine so small CI/dev containers still start.
+        # On a real cluster this knob is per-executor memory instead.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+        ),
     }
     # Shuffle/spill through tmpfs when available: the sandbox's /tmp sits on
     # a virtual disk whose bandwidth serializes multi-core shuffles; a real

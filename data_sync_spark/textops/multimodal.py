@@ -57,10 +57,15 @@ FEATURE_SCHEMA = T.StructType(
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
-# the Arrow batch conf is SESSION-wide and read at execution time: without
-# this lock a concurrent pandas-UDF job in the same SparkSession would
-# silently run with the capped batch size during the window below
-_ARROW_CAP_LOCK = threading.Lock()
+# The Arrow batch conf is SESSION-wide and read at execution time. This
+# lock only serializes capped executions AGAINST EACH OTHER (two capped
+# jobs can't clobber each other's save/restore); an UNCAPPED pandas-UDF job
+# running concurrently in the same session still executes under the
+# temporary cap — that race is inherent to a session-wide conf and is
+# harmless (a smaller batch size is a perf knob, never a correctness one).
+# RLock so a capped call nested inside another capped call (same thread)
+# doesn't deadlock.
+_ARROW_CAP_LOCK = threading.RLock()
 
 
 @contextmanager
