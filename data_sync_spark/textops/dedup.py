@@ -327,6 +327,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     driver_max_edges: int = 100_000,
+    algorithm: str = "pointer",
 ) -> DataFrame:
     """Near-duplicate GROUP resolution: connected components over candidate
     pairs → ``(doc_id, group_id)`` with group_id = min member id (the
@@ -355,7 +356,17 @@ def connected_components(
     an LSH pass is usually tiny relative to the corpus, so this is the
     common case; the distributed path is the 100 TB case. Both produce the
     identical (doc, min-member) mapping.
+
+    ``algorithm``: ``"pointer"`` (default) = the pointer-doubling
+    propagation above — per-round cost O(V+E), E constant across rounds.
+    ``"contraction"`` = alternating large-star/small-star edge contraction
+    (:func:`_cc_contraction`) — E itself SHRINKS every round, the 100×
+    lever for high-duplication graphs (dedup corpora with many large
+    near-dup clusters) where pointer doubling pays the full edge set every
+    round. Both modes produce the identical (doc, min-member) mapping.
     """
+    if algorithm not in ("pointer", "contraction"):
+        raise ValueError(f"unknown connected-components algorithm: {algorithm}")
     edges0 = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -384,6 +395,10 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(sorted(labels.items()), schema=schema)
+    if algorithm == "contraction":
+        out = _cc_contraction(edges0, a_col, max_iter=max_iter, stats=stats)
+        edges0.unpersist()
+        return out
     width = max(2, min(int(edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
     # persist (NOT localCheckpoint): the plan keeps the hashpartitioning(dst)
     # node, so the per-round neighbor join shuffles only the small labels
@@ -448,3 +463,97 @@ def connected_components(
     ).localCheckpoint(eager=True)
     edges.unpersist()
     return out
+
+
+def _cc_contraction(
+    bidir: DataFrame, a_col: str, max_iter: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star / small-star edge contraction — the public
+    MapReduce connected-components algorithm of Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii ("Connected Components in MapReduce and
+    Beyond", 2014), re-expressed as DataFrame ops:
+
+    * **large-star** — per node u with neighborhood N(u): every neighbor
+      STRICTLY LARGER than u re-links to m = min(N(u) ∪ {u}).
+    * **small-star** — edges oriented larger→smaller, per node u: all
+      (smaller) neighbors and u itself link to m = min(N(u) ∪ {u}).
+
+    Each phase is one shuffle-groupBy (min per node, map-side combined) +
+    one join that reuses the groupBy key, then a dedup. Unlike label
+    propagation / pointer doubling — whose per-round cost is the FULL
+    O(V+E) forever — the dedup after each star step collapses parallel
+    edges, so E itself shrinks: a dense k-member near-dup cluster's
+    O(k·bands) candidate edges become k star edges after one round. The
+    fixpoint is a forest of depth-1 stars rooted at each component's min
+    id (paper Theorem 1; convergence in O(log² n) rounds worst-case,
+    ~log n in practice). Skewed star roots (a giant component's min) are
+    by-construction hot join keys — the joins stay UNHINTED so AQE's
+    skew-join split handles them (same reasoning as the pointer path).
+
+    ``bidir``: the DIRECTED-both-ways distinct edge frame (src, dst) the
+    caller already built — self-pairs included; isolated nodes re-surface
+    via the final left join. Output contract matches
+    :func:`connected_components`: (a_col, group_id = component min).
+    """
+    nodes = bidir.select(F.col("src").alias("n")).distinct().persist()
+    nodes.count()
+    # canonical larger→smaller orientation, one row per undirected edge
+    # (bidir holds each pair both ways); self-loops drop here
+    e = (
+        bidir.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: strictly-larger neighbors re-link to the min
+        both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins.select("u", m.alias("m")), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: input already larger→smaller (large emits v>m),
+        # so per u every neighbor is smaller and m = min neighbor
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        row = small.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+        ).collect()[0]
+        sig = (row["cnt"], row["su"], row["sv"])
+        old = e
+        e = small
+        old.unpersist()
+        # endpoints only ever decrease (both phases re-link to minima), so
+        # an unchanged (count, Σu, Σv) signature means a true fixpoint
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint = depth-1 stars (u → component min); roots/isolated nodes
+    # carry their own id
+    labels = (
+        nodes.join(e.select(F.col("u").alias("n"), F.col("v").alias("g")), "n", "left")
+        .select(F.col("n").alias(a_col), F.coalesce("g", "n").alias("group_id"))
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    e.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["mode"] = "contraction"
+    return labels
