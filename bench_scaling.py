@@ -114,6 +114,24 @@ def main() -> int:
             "calib_efficiency": round(calib_speedup / factor, 3),
             "normalized_efficiency": round(speedup / calib_speedup, 3),
         }
+        # Engine-only view: per-batch apply_batch wall (Σ from the metrics
+        # JSONL) excludes Structured Streaming epoch overhead — the
+        # per-batch driver constant (micro-batch planning + offset/commit
+        # log fsyncs) that is invariant in thread count, so at small local
+        # batches it taxes the 4N level disproportionately while at the
+        # north rule's 10^10-event batch sizes it amortizes to noise.
+        if "engine_events_per_sec" in lo and "engine_events_per_sec" in hi:
+            espeed = hi["engine_events_per_sec"] / lo["engine_events_per_sec"]
+            pair.update(
+                {
+                    "engine_throughput_lo": lo["engine_events_per_sec"],
+                    "engine_throughput_hi": hi["engine_events_per_sec"],
+                    "engine_raw_speedup": round(espeed, 3),
+                    "engine_normalized_efficiency": round(espeed / calib_speedup, 3),
+                    "stream_overhead_sec_lo": lo.get("stream_overhead_sec_median"),
+                    "stream_overhead_sec_hi": hi.get("stream_overhead_sec_median"),
+                }
+            )
         # Noise-floor estimator (min-time convention): on a shared host,
         # contention only ever SLOWS a run, so the best of N repeats is the
         # lowest-variance estimate of the uncontended machine — applied
