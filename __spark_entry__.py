@@ -839,6 +839,34 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling SCHEDULE under the oracle — the pure-Spark
+    explode half of frame sampling (textops.multimodal.frame_sample_stub:
+    one row per sampled timestamp from each video's duration). The
+    per-frame DECODE half runs on real y4m frames in
+    ``tests/test_textops.py::test_frame_sample_real_e2e`` (binary
+    containers aren't expressible in a SQL oracle)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.multimodal import frame_sample_stub
+
+    _register(spark, sf_dir, names=("events",))
+    vids = spark.sql(
+        """
+        SELECT 'm-' || lpad(CAST(event_id AS STRING), 8, '0') AS media_id,
+               'video' AS kind,
+               CAST(NULL AS BINARY) AS payload,
+               'video/x-test' AS mime,
+               CAST(16 AS INT) AS width,
+               CAST(9 AS INT) AS height,
+               CAST(event_id % 4000 + 400 AS INT) AS duration_ms
+        FROM events WHERE event_id % 20 = 0
+        """
+    )
+    out = frame_sample_stub(vids, every_ms=700)
+    return out.select("media_id", F.col("frame_ms").cast("int").alias("frame_ms"), "frame_id")
+
+
 def _q_emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding column
     (the ANN baseline; JVM-side aggregate/zip_with, no UDF)."""
@@ -896,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard": _q_doc_ngram_jaccard,
     "doc_winnow": _q_doc_winnow,
     "media_features": _q_media_features,
+    "media_frames": _q_media_frames,
     "emb_topk_cosine": _q_emb_topk_cosine,
     "emb_lsh_topk": _q_emb_lsh_topk,
     "emb_near_pairs": _q_emb_near_pairs,
@@ -1140,6 +1169,19 @@ ORACLES: dict[str, str] = {
                  ',') AS feature_str,
                true AS decode_ok
         FROM media
+    """,
+    # Spark sequence(0, hi, step) is end-INCLUSIVE; DuckDB range(a, b, step)
+    # is end-EXCLUSIVE, hence the +1
+    "media_frames": """
+        WITH vids AS (
+          SELECT 'm-' || lpad(CAST(event_id AS STRING), 8, '0') AS media_id,
+                 CAST(event_id % 4000 + 400 AS INT) AS duration_ms
+          FROM events WHERE event_id % 20 = 0
+        )
+        SELECT media_id,
+               CAST(f AS INT) AS frame_ms,
+               media_id || '#' || CAST(f AS INT) AS frame_id
+        FROM vids, unnest(range(0, greatest(duration_ms - 1, 0) + 1, 700)) AS t(f)
     """,
     "emb_topk_cosine": """
         SELECT e.vec_id, e.label,
