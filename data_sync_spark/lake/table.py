@@ -1313,15 +1313,23 @@ def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
     rp = os.path.realpath(table_path)
     if ap in s or rp in s:
         return True
-    # Fallback must carry enough path entropy: every LakeTable stores files
-    # under <table>/data/, so a bare-basename match (e.g. a table named
-    # 'data' or 'wh') would claim missing-file errors from unrelated
-    # tables/feeds and turn genuine hard failures into retry-then-fail
-    # cycles. Require parent dir + basename together.
+    # Fallback must carry enough path entropy: a bare-basename match (e.g.
+    # a table named 'data' or 'wh') would claim missing-file errors from
+    # unrelated tables/feeds and turn genuine hard failures into
+    # retry-then-fail cycles. Two suffix forms qualify:
+    #   * parent dir + basename (symlink-resolved prefixes differ, tail
+    #     identical), or
+    #   * basename + '/data/' — every LakeTable stores its files under
+    #     <table>/data/, so this ties the match to our own layout even in
+    #     truncated error-class messages that dropped the parent; a table
+    #     literally named 'data' still cannot claim another table's
+    #     '<other>/data/' files (that would need '/data/data/').
     for p in {ap, rp}:
         base = os.path.basename(p.rstrip("/"))
         parent = os.path.basename(os.path.dirname(p.rstrip("/")))
         if base and parent and f"/{parent}/{base}/" in s:
+            return True
+        if base and f"/{base}/data/" in s:
             return True
     return False
 
