@@ -19,6 +19,8 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 import hashlib
+import os
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -363,9 +365,17 @@ def connected_components(
     (:func:`_cc_contraction`) — E itself SHRINKS every round, the 100×
     lever for high-duplication graphs (dedup corpora with many large
     near-dup clusters) where pointer doubling pays the full edge set every
-    round. Both modes produce the identical (doc, min-member) mapping.
+    round; once the shrinking residual fits ``driver_max_edges`` the loop
+    finishes with one bounded collect + union-find instead of
+    ~log(diameter) more fixed-cost rounds.
+    ``"auto"`` = contraction with a runtime stall switch: contract while E
+    shrinks ≥1.5× per round (the dense regime where contraction wins), then
+    hand the contracted residual to pointer doubling (the chain-like regime
+    where pointer's lighter per-round plan wins) — adaptive on OBSERVED
+    shrinkage, no upfront graph-shape guess needed. All modes produce the
+    identical (doc, min-member) mapping.
     """
-    if algorithm not in ("pointer", "contraction"):
+    if algorithm not in ("pointer", "contraction", "auto"):
         raise ValueError(f"unknown connected-components algorithm: {algorithm}")
     edges0 = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -395,23 +405,59 @@ def connected_components(
             ]
         )
         return spark.createDataFrame(sorted(labels.items()), schema=schema)
-    if algorithm == "contraction":
-        out = _cc_contraction(edges0, a_col, max_iter=max_iter, stats=stats)
+    if algorithm in ("contraction", "auto"):
+        out = _cc_contraction(
+            edges0, a_col, max_iter=max_iter, stats=stats,
+            driver_max_edges=driver_max_edges,
+            stall_switch=(algorithm == "auto"),
+        )
         edges0.unpersist()
         return out
-    width = max(2, min(int(edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
+    out = _cc_pointer(edges0, a_col, n_edges, max_iter=max_iter, stats=stats)
+    edges0.unpersist()
+    return out
+
+
+def _cc_pointer(
+    bidir: DataFrame,
+    a_col: str,
+    n_edges: int,
+    max_iter: int = 25,
+    stats: dict | None = None,
+    jumps: int = 1,
+) -> DataFrame:
+    """Pointer-doubling min-label propagation over a DIRECTED-both-ways
+    distinct edge frame (src, dst) — the loop body documented on
+    :func:`connected_components`. The caller owns ``bidir``'s persistence;
+    ``n_edges`` (its row count) sizes the propagation width.
+
+    ``jumps``: pointer jumps (label(u) ← label(label(u))) per round. A jump
+    touches only the V-sized label frame, and each one halves the residual
+    label-chain depth, so k jumps cut the deep-graph round count to
+    ~log(d)/k. The catch (measured, BENCH.md round 5): every jump is a
+    self-join co-located by ``label``, and once a giant component collapses
+    its label is one shuffle key carrying the whole component — a
+    single-task straggler that AQE's skew split does not break up (the
+    partition sits under the skew threshold, and the keys are identical so
+    no split point exists). Extra jumps pay that straggler again each
+    round. Default 1 (shape-robust); callers may raise it when the label
+    frame is known small or component sizes are bounded (e.g. the
+    contraction handoff caps it by residual size) — on such graphs jumps=2
+    measures ~1.4× faster end-to-end (10 vs 17 rounds)."""
+    width = max(2, min(int(bidir.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
     # persist (NOT localCheckpoint): the plan keeps the hashpartitioning(dst)
     # node, so the per-round neighbor join shuffles only the small labels
     # side — a checkpointed edge frame would re-shuffle all edges every round
-    edges = edges0.repartition(width, "dst").persist()
+    edges = bidir.repartition(width, "dst").persist()
     edges.count()
-    edges0.unpersist()
     labels = (
         edges.select("src").distinct().withColumn("label", F.col("src"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     rounds = 0
+    round_secs: list[float] = []
     for _ in range(max_iter):
+        _t0 = time.monotonic()
         rounds += 1
         nbr = (
             edges.join(
@@ -436,28 +482,37 @@ def connected_components(
         # component — a textbook skewed join key — so this join is left
         # UNHINTED: AQE's skew-join split handles the hot label partition
         # (a shuffle_hash hint here measurably serializes the tail).
-        lookup = l1.select(F.col("src").alias("_ls"), F.col("label").alias("_ll"))
         old = labels
-        labels = (
-            l1.join(lookup, l1["label"] == F.col("_ls"), "left")
-            .select(
-                "src",
-                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
-                    "label"
-                ),
+        labels = l1
+        for _ in range(max(1, jumps)):
+            lookup = labels.select(
+                F.col("src").alias("_ls"), F.col("label").alias("_ll")
             )
-            .localCheckpoint(eager=True)
-        )
+            prev = labels
+            labels = (
+                labels.join(lookup, labels["label"] == F.col("_ls"), "left")
+                .select(
+                    "src",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            prev.unpersist()
         # superseded checkpoints would otherwise pile up in block storage for
         # the whole loop (one labels frame per round at corpus node count)
         old.unpersist()
-        l1.unpersist()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        round_secs.append(round(time.monotonic() - _t0, 3))
+        if os.environ.get("SPARK_GRAFT_CC_DEBUG"):
+            print(f"cc round {rounds}: {round_secs[-1]}s sum={cur_sum}", flush=True)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     if stats is not None:
         stats["rounds"] = rounds
+        stats["round_secs"] = round_secs
     out = labels.select(
         F.col("src").alias(a_col), F.col("label").alias("group_id")
     ).localCheckpoint(eager=True)
@@ -466,7 +521,12 @@ def connected_components(
 
 
 def _cc_contraction(
-    bidir: DataFrame, a_col: str, max_iter: int = 50, stats: dict | None = None
+    bidir: DataFrame,
+    a_col: str,
+    max_iter: int = 50,
+    stats: dict | None = None,
+    driver_max_edges: int = 0,
+    stall_switch: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star edge contraction — the public
     MapReduce connected-components algorithm of Kiveris, Lattanzi, Mirrokni,
@@ -494,6 +554,13 @@ def _cc_contraction(
     caller already built — self-pairs included; isolated nodes re-surface
     via the final left join. Output contract matches
     :func:`connected_components`: (a_col, group_id = component min).
+
+    ``driver_max_edges`` > 0 enables the bounded mid-loop driver finish:
+    when a round's residual edge count drops to or under it, the residual
+    is collected (~32 B/edge, same bound as the caller's small-graph
+    shortcut) and resolved by union-find in one job — the realization of
+    contraction's E-shrinks property. 0 (the in-loop default) keeps the
+    loop fully distributed to the star fixpoint.
     """
     nodes = bidir.select(F.col("src").alias("n")).distinct().persist()
     nodes.count()
@@ -528,8 +595,13 @@ def _cc_contraction(
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        # E shrinks round over round — size the checkpointed frame to LAST
+        # round's count so late rounds (tiny residual graphs) don't pay the
+        # initial width in per-task scheduling overhead
+        if prev_sig is not None:
+            small = small.coalesce(max(2, min(64, prev_sig[0] // 50_000 + 2)))
+        small = small.localCheckpoint(eager=True)  # truncate per-round lineage
         row = small.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("u").alias("su"),
@@ -543,7 +615,95 @@ def _cc_contraction(
         # an unchanged (count, Σu, Σv) signature means a true fixpoint
         if sig == prev_sig:
             break
+        shrink = (prev_sig[0] / max(1, sig[0])) if prev_sig else None
         prev_sig = sig
+        # Contraction's payoff, realized: once the residual graph fits the
+        # caller's bounded driver budget, finish with ONE collect +
+        # union-find instead of ~log(diameter) more tiny-but-fixed-cost
+        # distributed rounds (a 100k-hop chain residual alone would cost
+        # ~17 rounds of pure scheduling overhead). Both star operations
+        # preserve connectivity over ORIGINAL node ids, so components of
+        # the residual equal components of the input restricted to nodes
+        # still carrying edges; edge-free nodes (isolated from the start —
+        # rewrites never strand a connected node) re-surface as singletons
+        # via the final left join. Pointer doubling has no analog: its edge
+        # set never shrinks.
+        if driver_max_edges and row["cnt"] <= driver_max_edges:
+            lab = _union_find([(r["u"], r["v"]) for r in e.collect()])
+            spark = bidir.sparkSession
+            id_type = bidir.schema["src"].dataType
+            star = spark.createDataFrame(
+                sorted(lab.items()),
+                schema=T.StructType(
+                    [
+                        T.StructField("n", id_type, False),
+                        T.StructField("g", id_type, False),
+                    ]
+                ),
+            )
+            labels = (
+                nodes.join(star, "n", "left")
+                .select(
+                    F.col("n").alias(a_col),
+                    F.coalesce("g", "n").alias("group_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            nodes.unpersist()
+            e.unpersist()
+            if stats is not None:
+                stats["rounds"] = rounds
+                stats["mode"] = "contraction+driver-finish"
+                stats["driver_finish_edges"] = int(row["cnt"])
+            return labels
+        # Stall switch (algorithm="auto"): contraction's per-round cost only
+        # pays for itself while E is SHRINKING (dense near-dup clusters
+        # collapsing to stars). Once the shrink rate stalls the residual is
+        # chain-like — the regime where contraction still needs
+        # ~log(diameter) rounds but each costs MORE than pointer doubling's
+        # (heavier per-round plan: union-both-ways + two groupBys + two
+        # joins + distinct vs one join + one groupBy + one self-join). Hand
+        # the contracted residual to pointer doubling: it inherits the E
+        # reduction the completed rounds already bought. Connectivity over
+        # original ids is preserved by both star operations, so pointer's
+        # components on the residual equal the input's (edge-free nodes
+        # re-surface via the final left join, as in the driver finish).
+        if stall_switch and shrink is not None and shrink < 1.5:
+            residual = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            sub: dict = {}
+            plab = _cc_pointer(
+                residual, a_col, 2 * int(row["cnt"]),
+                max_iter=max_iter, stats=sub,
+                # small residual bounds the per-jump giant-label straggler
+                # (see _cc_pointer docstring), so double-jumping is safe
+                # and halves the remaining chain-depth rounds
+                jumps=2 if row["cnt"] <= 2_000_000 else 1,
+            )
+            labels = (
+                nodes.join(
+                    plab.select(
+                        F.col(a_col).alias("n"), F.col("group_id").alias("g")
+                    ),
+                    "n",
+                    "left",
+                )
+                .select(
+                    F.col("n").alias(a_col),
+                    F.coalesce("g", "n").alias("group_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            nodes.unpersist()
+            e.unpersist()
+            if stats is not None:
+                stats["rounds"] = rounds + sub.get("rounds", 0)
+                stats["contraction_rounds"] = rounds
+                stats["pointer_rounds"] = sub.get("rounds")
+                stats["handoff_edges"] = int(row["cnt"])
+                stats["mode"] = "contraction+pointer-handoff"
+            return labels
     # fixpoint = depth-1 stars (u → component min); roots/isolated nodes
     # carry their own id
     labels = (

@@ -484,6 +484,78 @@ def test_connected_components_contraction_agrees(spark):
     assert s_con["rounds"] <= 25, s_con
 
 
+def test_connected_components_contraction_driver_finish(spark):
+    """Round-5: contraction's bounded driver finish — a graph whose initial
+    edge count exceeds the driver budget (so the distributed loop starts)
+    but whose contracted residual fits it must take the mid-loop collect +
+    union-find exit and still agree with pure-distributed pointer doubling."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import connected_components
+
+    # 4 dense clusters of 100 with 10 edges/node (4k edges > budget) plus a
+    # 300-hop chain: after the clusters collapse the residual is chain-sized
+    dense = spark.range(4 * 100 * 10).select(
+        (F.col("id") % 400 + 10_000).alias("id_a"),
+        (
+            (F.col("id") % 400) - (F.col("id") % 400) % 100
+            + F.pmod(F.xxhash64("id"), 100)
+            + 10_000
+        ).alias("id_b"),
+    ).filter("id_a <> id_b")
+    chain = spark.range(300).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pairs = dense.unionByName(chain)
+    n_pairs = pairs.select("id_a", "id_b").distinct().count()
+    budget = 900  # < initial distinct pairs, > contracted residual
+    assert n_pairs > budget
+
+    s_con: dict = {}
+    con = connected_components(
+        pairs, stats=s_con, driver_max_edges=budget, algorithm="contraction"
+    )
+    ptr = connected_components(pairs, driver_max_edges=0)
+    assert s_con.get("mode") == "contraction+driver-finish", s_con
+    assert 0 < s_con["driver_finish_edges"] <= budget
+    assert sorted(map(tuple, con.collect())) == sorted(map(tuple, ptr.collect()))
+
+
+def test_connected_components_auto_stall_switch(spark):
+    """Round-5: ``algorithm="auto"`` — contraction rounds collapse the dense
+    clusters, the stall switch detects the non-shrinking chain residual and
+    hands it to pointer doubling; labels must equal both pure modes."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import connected_components
+
+    dense = spark.range(4 * 100 * 10).select(
+        (F.col("id") % 400 + 10_000).alias("id_a"),
+        (
+            (F.col("id") % 400) - (F.col("id") % 400) % 100
+            + F.pmod(F.xxhash64("id"), 100)
+            + 10_000
+        ).alias("id_b"),
+    ).filter("id_a <> id_b")
+    chain = spark.range(300).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pairs = dense.unionByName(chain)
+
+    s_auto: dict = {}
+    # driver_max_edges=0 disables both the small-graph shortcut and the
+    # driver finish, forcing the stall switch itself to be exercised
+    auto = connected_components(
+        pairs, stats=s_auto, driver_max_edges=0, algorithm="auto"
+    )
+    ptr = connected_components(pairs, driver_max_edges=0)
+    assert s_auto.get("mode") == "contraction+pointer-handoff", s_auto
+    assert s_auto["contraction_rounds"] >= 1
+    assert s_auto["pointer_rounds"] >= 1
+    assert s_auto["handoff_edges"] > 0
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, ptr.collect()))
+
+
 def test_connected_components_contraction_shrinks_edges(spark):
     """The point of contraction: a dense component's edge set collapses to
     a star after convergence — the output is one group per component with
