@@ -424,7 +424,7 @@ def _cc_pointer(
     n_edges: int,
     max_iter: int = 25,
     stats: dict | None = None,
-    jumps: int = 1,
+    jumps: int = 2,
 ) -> DataFrame:
     """Pointer-doubling min-label propagation over a DIRECTED-both-ways
     distinct edge frame (src, dst) — the loop body documented on
@@ -434,16 +434,16 @@ def _cc_pointer(
     ``jumps``: pointer jumps (label(u) ← label(label(u))) per round. A jump
     touches only the V-sized label frame, and each one halves the residual
     label-chain depth, so k jumps cut the deep-graph round count to
-    ~log(d)/k. The catch (measured, BENCH.md round 5): every jump is a
-    self-join co-located by ``label``, and once a giant component collapses
-    its label is one shuffle key carrying the whole component — a
-    single-task straggler that AQE's skew split does not break up (the
-    partition sits under the skew threshold, and the keys are identical so
-    no split point exists). Extra jumps pay that straggler again each
-    round. Default 1 (shape-robust); callers may raise it when the label
-    frame is known small or component sizes are bounded (e.g. the
-    contraction handoff caps it by residual size) — on such graphs jumps=2
-    measures ~1.4× faster end-to-end (10 vs 17 rounds)."""
+    ~log(d)/k at a fraction of a full round's cost. Safe as a default
+    BECAUSE of the frontier-mapping formulation below: a naive jump
+    self-join co-located by ``label`` pays a single-task straggler once a
+    giant component collapses (its label is ONE shuffle key carrying the
+    whole component — AQE's skew split cannot break identical keys, and
+    the partition sits under the skew threshold anyway; measured r5:
+    per-round cost grew 5s → 20s on a 5M-member component, and each extra
+    jump paid it again). The frontier mapping removes that straggler
+    entirely: measured r5, dense+chain graph 42.1s → 26.2s (17 → 10
+    rounds) with jumps=2, giant-component graph flat-cost and equal."""
     width = max(2, min(int(bidir.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), n_edges // 50_000 + 2))
     # persist (NOT localCheckpoint): the plan keeps the hashpartitioning(dst)
     # node, so the per-round neighbor join shuffles only the small labels
@@ -477,20 +477,40 @@ def _cc_pointer(
             .localCheckpoint(eager=True)
         )
         # pointer doubling: label(u) ← label(label(u)) (labels are node ids,
-        # every label is itself a src row, so the self-join always resolves).
-        # As components collapse, one label value covers a whole giant
-        # component — a textbook skewed join key — so this join is left
-        # UNHINTED: AQE's skew-join split handles the hot label partition
-        # (a shuffle_hash hint here measurably serializes the tail).
+        # every label is itself a src row, so the lookup always resolves).
+        # A naive self-join co-located by ``label`` hits the giant-label
+        # straggler documented in the docstring, so the jump is built as a
+        # FRONTIER MAPPING instead: the set of (L, label(L)) entries with
+        # label(L) != L — i.e. only labels that still MOVE. Building it
+        # joins on ``src`` (unique → uniform, no skew); applying it
+        # broadcasts when the frontier is small — which is exactly when the
+        # naive join would be most skewed (few distinct labels = collapsed
+        # components), so the broadcast regime and the skew regime
+        # coincide. A label absent from the mapping is a root: the left
+        # join + coalesce keeps it, preserving the naive join's semantics.
         old = labels
         labels = l1
         for _ in range(max(1, jumps)):
-            lookup = labels.select(
-                F.col("src").alias("_ls"), F.col("label").alias("_ll")
-            )
             prev = labels
+            moved = (
+                labels.select(F.col("label").alias("_ls"))
+                .distinct()
+                .join(labels, F.col("_ls") == F.col("src"))
+                .filter(F.col("_ls") != F.col("label"))
+                .select("_ls", F.col("label").alias("_ll"))
+                .persist()
+            )
+            n_moved = moved.count()
+            if n_moved == 0:
+                # every referenced label is a root — the jump is identity
+                moved.unpersist()
+                break
+            # ~16 B/row; 4M rows ≈ 64 MB — comfortably under the driver
+            # heap. Early rounds (uniform labels, large frontier) fall back
+            # to the shuffle join, which is skew-free exactly then.
+            apply_map = F.broadcast(moved) if n_moved <= 4_000_000 else moved
             labels = (
-                labels.join(lookup, labels["label"] == F.col("_ls"), "left")
+                labels.join(apply_map, labels["label"] == F.col("_ls"), "left")
                 .select(
                     "src",
                     F.least(
@@ -499,6 +519,7 @@ def _cc_pointer(
                 )
                 .localCheckpoint(eager=True)
             )
+            moved.unpersist()
             prev.unpersist()
         # superseded checkpoints would otherwise pile up in block storage for
         # the whole loop (one labels frame per round at corpus node count)
@@ -573,6 +594,10 @@ def _cc_contraction(
     )
     prev_sig = None
     rounds = 0
+    # deterministic work accounting: undirected edge count at the END of
+    # each round — noise-free evidence of the E-shrink that wall-clock on
+    # a shared host cannot show (BENCH.md round 5)
+    edge_counts: list[int] = []
     for _ in range(max_iter):
         rounds += 1
         # ---- large-star: strictly-larger neighbors re-link to the min
@@ -608,6 +633,7 @@ def _cc_contraction(
             F.sum("v").alias("sv"),
         ).collect()[0]
         sig = (row["cnt"], row["su"], row["sv"])
+        edge_counts.append(int(row["cnt"]))
         old = e
         e = small
         old.unpersist()
@@ -654,6 +680,7 @@ def _cc_contraction(
             if stats is not None:
                 stats["rounds"] = rounds
                 stats["mode"] = "contraction+driver-finish"
+                stats["edge_counts"] = edge_counts
                 stats["driver_finish_edges"] = int(row["cnt"])
             return labels
         # Stall switch (algorithm="auto"): contraction's per-round cost only
@@ -676,10 +703,6 @@ def _cc_contraction(
             plab = _cc_pointer(
                 residual, a_col, 2 * int(row["cnt"]),
                 max_iter=max_iter, stats=sub,
-                # small residual bounds the per-jump giant-label straggler
-                # (see _cc_pointer docstring), so double-jumping is safe
-                # and halves the remaining chain-depth rounds
-                jumps=2 if row["cnt"] <= 2_000_000 else 1,
             )
             labels = (
                 nodes.join(
@@ -703,6 +726,7 @@ def _cc_contraction(
                 stats["pointer_rounds"] = sub.get("rounds")
                 stats["handoff_edges"] = int(row["cnt"])
                 stats["mode"] = "contraction+pointer-handoff"
+                stats["edge_counts"] = edge_counts
             return labels
     # fixpoint = depth-1 stars (u → component min); roots/isolated nodes
     # carry their own id
@@ -716,4 +740,5 @@ def _cc_contraction(
     if stats is not None:
         stats["rounds"] = rounds
         stats["mode"] = "contraction"
+        stats["edge_counts"] = edge_counts
     return labels
