@@ -175,3 +175,35 @@ def test_random_composite_key_replay_equals_oracle(
         pdf, cfg, target_cols=TARGET_COLS, key_cols=("tenant", "doc_id")
     )
     _assert_ck_equal(table.read().toPandas(), expected)
+
+
+# --------------------------------------------------------------- CC property
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_connected_components_modes_agree_random(spark, edges):
+    """Property: on ANY small graph (self-loops, duplicates, multi-component,
+    arbitrary shapes) every distributed mode — pointer (frontier multi-jump),
+    contraction (+driver finish disabled), and auto (stall switch) — produces
+    the exact (node, component-min) mapping of the driver union-find."""
+    from data_sync_spark.textops.dedup import _union_find, connected_components
+
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    truth = _union_find(edges)
+    expected = sorted(truth.items())
+    for mode in ("pointer", "contraction", "auto"):
+        got = sorted(
+            map(tuple, connected_components(
+                df, driver_max_edges=0, algorithm=mode, max_iter=25
+            ).collect())
+        )
+        assert got == expected, (mode, edges, got[:10], expected[:10])
