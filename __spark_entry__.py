@@ -470,6 +470,77 @@ def _q_cdc_multi_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resume-from-checkpoint + exactly-once under the oracle:
+    batches 0-1 MERGE through the real engine, the process "crashes" (the
+    in-memory handle is dropped), ``LakeTable.load`` re-opens the table
+    from its on-disk manifest, the at-least-once feed re-delivers batch 1
+    (the ``(app_id → last_batch_id)`` ledger must refuse it:
+    ``committed=False``), then batches 2-3 complete the replay. The final
+    state — including per-row token arrays (the north rule's token-array
+    equality) and the applied-version lineage column — must equal the
+    oracle's single-shot LWW replay. Reference analog: binlog position
+    checkpointing + idempotent re-delivery (``mysql_handler.go:297-311``,
+    idempotence-by-SQL-semantics)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    changes = _changes(spark, sf_dir).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-resume-")
+    try:
+        path = os.path.join(tmp, "t")
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+
+        def batch(b: int) -> DataFrame:
+            return changes.filter(
+                (F.col("log_offset") >= b * step) & (F.col("log_offset") < (b + 1) * step)
+            )
+
+        table = LakeTable.create(spark, path, TARGET_SCHEMA, n_buckets=8)
+        for b in (0, 1):
+            res = table.merge(
+                net_changes(batch(b), cfg, table.schema), app_id="rz", batch_id=b, mor=True
+            )
+            assert res.committed, res
+        del table  # crash: no in-memory state survives
+
+        resumed = LakeTable.load(spark, path)
+        assert resumed.last_batch_id("rz") == 1  # checkpoint read back
+        stale = resumed.merge(
+            net_changes(batch(1), cfg, resumed.schema), app_id="rz", batch_id=1, mor=True
+        )
+        assert not stale.committed, stale  # exactly-once: stale epoch refused
+        for b in (2, 3):
+            res = resumed.merge(
+                net_changes(batch(b), cfg, resumed.schema), app_id="rz", batch_id=b, mor=True
+            )
+            assert res.committed, res
+
+        out = resumed.read(include_internal=True).select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.col("_ver.off").alias("applied_off"),
+            F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        )
+        keep = _result_dir("resume")
+        out.write.mode("overwrite").parquet(keep)
+        return spark.read.parquet(keep)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 route predicate: PART + include + exclude → default deny rest."""
     from pyspark.sql import functions as F
@@ -707,6 +778,54 @@ def _q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQ_LEN = 256
+PACK_VOCAB = 32000
+
+
+def _q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit under the oracle: documents are tokenized
+    with the portable word hash (vocab 32000), concatenated in doc_id
+    order, and re-chunked into 256-token training sequences via the
+    scalable prefix-sum packer (textops.tokens.pack_chunks_meta — no
+    global single-partition window, no per-token explode). Per chunk:
+    doc/token counts, first/last doc, and the token-value checksum —
+    equality pins the exact chunk assignment AND slice contents."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import _h
+    from data_sync_spark.textops.tokens import pack_chunks_meta
+
+    _register(spark, sf_dir, names=("documents",))
+    toks = spark.table("documents").select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), w -> {_h('w')} % {PACK_VOCAB})").alias(
+            "tokens"
+        ),
+        F.expr("size(split(text, ' '))").alias("n_tok"),
+    )
+    out = pack_chunks_meta(toks, PACK_SEQ_LEN)
+    cache = getattr(out, "_dss_prefix_cache", None)
+    keep = _result_dir("tok_pack")
+    out.write.mode("overwrite").parquet(keep)
+    if cache is not None:
+        cache.unpersist()
+    return spark.read.parquet(keep)
+
+
+def _q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination under the oracle: deterministic 80/20
+    hash split of documents, then per-eval-doc fraction of distinct word
+    3-gram hashes that occur anywhere in the train split
+    (textops.tokens.ngram_contamination — shared shingle machinery with
+    MinHash, uniform-hash join, no skew)."""
+    from data_sync_spark.textops.tokens import ngram_contamination, split_expr
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    is_eval = split_expr("doc_id", eval_pct=20)
+    return ngram_contamination(d.filter(~is_eval), d.filter(is_eval), shingle_n=3)
+
+
 # Corpus with PLANTED near-duplicates: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a 0.8-threshold
 # near-dup query over the raw table is vacuously empty (judge r3 #1). Every
@@ -905,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine": _q_cdc_quarantine,
     "cdc_lineage": _q_cdc_lineage,
     "cdc_multi_route": _q_cdc_multi_route,
+    "cdc_resume": _q_cdc_resume,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
     "column_filter": _q_column_filter,
@@ -923,6 +1043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": _q_doc_fingerprint,
     "doc_ngram_jaccard": _q_doc_ngram_jaccard,
     "doc_winnow": _q_doc_winnow,
+    "tok_pack": _q_tok_pack,
+    "tok_contamination": _q_tok_contamination,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,
     "emb_topk_cosine": _q_emb_topk_cosine,
@@ -1075,6 +1197,17 @@ ORACLES: dict[str, str] = {
         WHERE source IN ('click', 'purchase', 'signup', 'view')
         QUALIFY row_number() OVER (PARTITION BY source, doc_id
                                    ORDER BY log_offset DESC, seq DESC) = 1
+          AND op <> 'delete'
+    """,
+    # resume-from-checkpoint replay: the engine's crash + ledger-skip +
+    # resume must land on the same final state as one straight LWW pass;
+    # applied_off pins the per-row applied-version lineage to the winner
+    "cdc_resume": f"""
+        {_CH}
+        SELECT doc_id, source, n_tok, log_offset AS applied_off,
+               {TOKENS_DUCK} AS tokens_str
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
           AND op <> 'delete'
     """,
     "route_include": f"""
@@ -1626,8 +1759,68 @@ FROM reach GROUP BY src
 """
 
 
+# Sequence-packing twin: identical tokenization (portable word hash mod
+# vocab), exclusive prefix sum over doc_id order, chunk piece expansion via
+# lateral generate_series, identical per-chunk audit columns.
+_DUCK_TOK_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> ({_dh('w')}) % {PACK_VOCAB}) AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+off AS (
+  SELECT doc_id, toks, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM toks
+),
+pieces AS (
+  SELECT u.c AS chunk_id, doc_id,
+         greatest(u.c * {PACK_SEQ_LEN}, st) - st AS ps,
+         least((u.c + 1) * {PACK_SEQ_LEN}, st + n_tok)
+           - greatest(u.c * {PACK_SEQ_LEN}, st) AS plen,
+         toks
+  FROM off,
+       UNNEST(generate_series(st // {PACK_SEQ_LEN},
+                              (st + n_tok - 1) // {PACK_SEQ_LEN})) AS u(c)
+  WHERE n_tok > 0
+)
+SELECT chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(plen) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc,
+       CAST(sum(CAST(list_sum(list_slice(toks, ps + 1, ps + plen)) AS BIGINT))
+            AS BIGINT) AS tok_sum
+FROM pieces GROUP BY chunk_id
+"""
+
+
+def _duck_contamination_sql(shingle_n: int = 3, eval_pct: int = 20) -> str:
+    """Twin of tokens.ngram_contamination over an 80/20 portable-hash
+    split: same shingle base hashes (``_duck_hs_ctes``), distinct train
+    gram set, per-eval-doc distinct-gram hit fraction."""
+    split = f"({_dh('CAST(doc_id AS VARCHAR)')}) % 100"
+    return f"""
+WITH {_duck_hs_ctes(shingle_n)},
+lab AS (SELECT doc_id, hs, {split} AS hb FROM hs0),
+tg AS (SELECT DISTINCT unnest(hs) AS h FROM lab WHERE hb >= {eval_pct}),
+eg AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM lab WHERE hb < {eval_pct})
+SELECT eg.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN tg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN tg.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS contamination
+FROM eg LEFT JOIN tg ON eg.h = tg.h
+GROUP BY eg.doc_id
+"""
+
+
 ORACLES.update(
     {
+        "tok_pack": _DUCK_TOK_PACK_SQL,
+        "tok_contamination": _duck_contamination_sql(shingle_n=3, eval_pct=20),
         "doc_dedup_groups": _duck_dedup_groups_sql(),
         "emb_ivf_build": _DUCK_IVF_BUILD_SQL,
         "emb_ivf_topk": _DUCK_IVF_SQL,

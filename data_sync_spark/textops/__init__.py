@@ -24,3 +24,10 @@ from data_sync_spark.textops.similarity import (  # noqa: F401
     cosine_topk,
     lsh_bucketed_topk,
 )
+from data_sync_spark.textops.tokens import (  # noqa: F401
+    exclusive_prefix_sum,
+    ngram_contamination,
+    pack_chunks_meta,
+    pack_sequences,
+    split_expr,
+)

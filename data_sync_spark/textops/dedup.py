@@ -104,24 +104,23 @@ def shingles_expr(text_col: str, n: int = 3):
     ), w
 
 
-def minhash_signatures(
+def shingle_hash_array(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 16,
     shingle_n: int = 3,
+    out_col: str = "_hs",
 ) -> DataFrame:
-    """k MinHash values per document over word n-gram shingles.
+    """Word n-gram shingle base hashes as an ``array<long>`` column.
 
     Shingle base hash = polynomial composition of per-WORD hashes
     (``((H(w_i)*31 + H(w_i+1))*31 + ...) mod P``): one md5 per word — no
-    per-shingle string building, no per-shingle md5. minhash_i = min over
-    shingles of the affine permutation ``(a_i*base + b_i) mod P``
-    (driver-side constants). All per-row array math — zero shuffle. Word
-    hashes live in their own projection so CollapseProject keeps them
-    computed once (an expensive alias referenced k times is not inlined).
-    Documents shorter than ``shingle_n`` words fall back to one whole-text
-    hash. The DuckDB oracle replicates the arithmetic bit-for-bit."""
+    per-shingle string building, no per-shingle md5. All per-row array math
+    — zero shuffle. Word hashes live in their own projection so
+    CollapseProject keeps them computed once (an expensive alias referenced
+    many times is not inlined). Documents shorter than ``shingle_n`` words
+    fall back to one whole-text hash. Shared by MinHash signatures and the
+    train/eval n-gram contamination check; the DuckDB oracle replicates the
+    arithmetic bit-for-bit (``__spark_entry__._duck_hs_ctes``)."""
     wh = df.withColumn(
         "_wh",
         F.expr(
@@ -136,8 +135,8 @@ def minhash_signatures(
         # so any shingle_n is ANSI-overflow-safe (value is unchanged:
         # ((x mod P)*31 + y) mod P == (x*31 + y) mod P)
         poly = f"(({poly} * 31L + element_at(_wh, i + {j})) % {MINHASH_PRIME}L)"
-    base = wh.withColumn(
-        "_hs",
+    return wh.withColumn(
+        out_col,
         F.expr(
             f"""CASE WHEN size(_wh) < {shingle_n}
                  THEN array({_h(text_col)} % {MINHASH_PRIME}L)
@@ -145,7 +144,21 @@ def minhash_signatures(
                                 i -> ({poly}) % {MINHASH_PRIME}L)
             END"""
         ),
-    )
+    ).drop("_wh")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k MinHash values per document over word n-gram shingles
+    (:func:`shingle_hash_array`): minhash_i = min over shingles of the
+    affine permutation ``(a_i*base + b_i) mod P`` (driver-side constants).
+    The DuckDB oracle replicates the arithmetic bit-for-bit."""
+    base = shingle_hash_array(df, text_col=text_col, shingle_n=shingle_n)
     params = minhash_params(k)
     mh_cols = [
         F.expr(

@@ -1,0 +1,159 @@
+"""Token-sequence operators: packing (scalable prefix sum, chunk
+reassembly) and train/eval n-gram contamination."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_sync_spark.textops.tokens import (
+    exclusive_prefix_sum,
+    ngram_contamination,
+    pack_chunks_meta,
+    pack_sequences,
+    split_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(211):
+        n = rng.randint(1, 37)
+        rows.append((i, [rng.randint(0, 31999) for _ in range(n)], n))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, n_tok int")
+    return rows, df
+
+
+def _naive_chunks(rows, L):
+    flat = []
+    for _, toks, _ in sorted(rows):
+        flat.extend(toks)
+    return {c: flat[c * L : (c + 1) * L] for c in range((len(flat) + L - 1) // L)}
+
+
+def test_pack_sequences_equals_naive_concat(corpus):
+    rows, df = corpus
+    L = 32
+    expected = _naive_chunks(rows, L)
+    got = {r["chunk_id"]: list(r["tokens"]) for r in pack_sequences(df, L).collect()}
+    assert got == expected
+
+
+def test_pack_all_chunks_full_except_last(corpus):
+    rows, df = corpus
+    L = 50
+    total = sum(n for _, _, n in rows)
+    out = sorted(
+        (r["chunk_id"], r["n_tok"]) for r in pack_sequences(df, L).collect()
+    )
+    assert [c for c, _ in out] == list(range(len(out)))  # dense chunk ids
+    assert all(n == L for _, n in out[:-1])
+    assert sum(n for _, n in out) == total  # no token lost or duplicated
+
+
+def test_pack_meta_matches_materialized(corpus):
+    rows, df = corpus
+    L = 64
+    expected = _naive_chunks(rows, L)
+    meta = {
+        r["chunk_id"]: (r["n_tokens"], r["tok_sum"])
+        for r in pack_chunks_meta(df, L).collect()
+    }
+    assert meta == {c: (len(v), sum(v)) for c, v in expected.items()}
+
+
+def test_prefix_sum_partition_count_invariant(corpus):
+    rows, df = corpus
+    expected = {}
+    acc = 0
+    for i, _, n in sorted(rows):
+        expected[i] = acc
+        acc += n
+    for nparts in (1, 3, 16):
+        got = {
+            r["doc_id"]: r["seq_start"]
+            for r in exclusive_prefix_sum(
+                df, "n_tok", ["doc_id"], n_partitions=nparts
+            ).collect()
+        }
+        assert got == expected, f"n_partitions={nparts}"
+
+
+def test_prefix_sum_non_contiguous_order_keys(spark):
+    # order column with gaps and large values — only ORDER matters
+    df = spark.createDataFrame(
+        [(1000, 5), (7, 3), (99, 2), (-4, 10)], "k long, n int"
+    )
+    got = {
+        r["k"]: r["seq_start"]
+        for r in exclusive_prefix_sum(df, "n", ["k"], n_partitions=2).collect()
+    }
+    assert got == {-4: 0, 7: 10, 99: 13, 1000: 15}
+
+
+def test_contamination_contained_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown fox jumps over"),  # identical to train doc
+            (3, "totally different eval words here now"),
+            (4, "the quick brown cat sat down today"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contamination"])
+        for r in ngram_contamination(
+            docs.filter("doc_id = 1"), docs.filter("doc_id > 1"), shingle_n=3
+        ).collect()
+    }
+    assert out[2] == (4, 4, 1.0)  # fully contaminated
+    assert out[3][1] == 0 and out[3][2] == 0.0  # clean
+    assert out[4][1] == 1  # only 'the quick brown' shared
+    assert 0.0 < out[4][2] < 1.0
+
+
+def test_contamination_short_doc_whole_text_fallback(spark):
+    # docs below shingle_n words hash the whole text — identical short
+    # text in train ⇒ contaminated, different ⇒ clean
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye now")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contamination"]
+        for r in ngram_contamination(
+            docs.filter("doc_id = 1"), docs.filter("doc_id > 1"), shingle_n=3
+        ).collect()
+    }
+    assert out == {2: 1.0, 3: 0.0}
+
+
+def test_split_expr_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = df.filter(split_expr("doc_id", eval_pct=20)).count()
+    b = df.filter(split_expr("doc_id", eval_pct=20)).count()
+    assert a == b  # deterministic
+    assert 300 < a < 500  # ~20% of 2000
+
+    # exhaustive: eval + train partition the corpus
+    tr = df.filter(~split_expr("doc_id", eval_pct=20)).count()
+    assert a + tr == 2000
+
+
+def test_pack_respects_explicit_order_cols(spark):
+    # packing ordered by a priority column, not the id
+    df = spark.createDataFrame(
+        [(1, [9, 9], 2, 30), (2, [1, 2, 3], 3, 10), (3, [7], 1, 20)],
+        "doc_id long, tokens array<int>, n_tok int, pri long",
+    )
+    out = {
+        r["chunk_id"]: list(r["tokens"])
+        for r in pack_sequences(df, 4, order_cols=["pri"]).collect()
+    }
+    # order: doc2 (pri 10), doc3 (20), doc1 (30) → stream 1,2,3,7,9,9
+    assert out == {0: [1, 2, 3, 7], 1: [9, 9]}
