@@ -119,6 +119,7 @@ def pack_pieces(
     length_col: str = "n_tok",
     order_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    eod_token: int | None = None,
 ) -> DataFrame:
     """Per-(document, chunk) pieces of the packed token stream.
 
@@ -129,10 +130,20 @@ def pack_pieces(
     at most ``n_tok div L + 2`` rows, each carrying one array slice.
     Output columns: id, ``chunk_id``, ``piece_off`` (0-based offset in the
     doc), ``piece_len``, ``piece_tokens``, ``piece_start`` (global offset
-    of the piece — the sort key for reassembly)."""
+    of the piece — the sort key for reassembly).
+
+    ``eod_token``: when set, an end-of-document separator is appended to
+    every document's token stream before packing (the standard
+    concat-with-EOD pre-training layout) — a pure per-row projection, so
+    the scale shape is unchanged."""
     order_cols = list(order_cols or [id_col])
     L = int(seq_len)
     assert L > 0
+    if eod_token is not None:
+        df = df.withColumn(
+            tokens_col,
+            F.concat(F.col(tokens_col), F.array(F.lit(int(eod_token)))),
+        ).withColumn(length_col, F.col(length_col) + F.lit(1))
     off = exclusive_prefix_sum(df, length_col, order_cols, out_col="_st")
     n = F.col(length_col).cast("long")
     st = F.col("_st")
@@ -164,13 +175,16 @@ def pack_chunks_meta(
     length_col: str = "n_tok",
     order_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    eod_token: int | None = None,
 ) -> DataFrame:
     """Packing audit per chunk: doc count, token count, first/last doc and
     the sum of token values (content checksum). The per-piece token sums
     are computed map-side (``aggregate`` over the slice), so the chunk
     shuffle carries only scalars — the audit costs one scalar shuffle
     regardless of token volume."""
-    pieces = pack_pieces(df, seq_len, tokens_col, length_col, order_cols, id_col)
+    pieces = pack_pieces(
+        df, seq_len, tokens_col, length_col, order_cols, id_col, eod_token
+    )
     out = pieces.withColumn(
         "_psum",
         F.expr(
@@ -194,6 +208,7 @@ def pack_sequences(
     length_col: str = "n_tok",
     order_cols: list[str] | None = None,
     id_col: str = "doc_id",
+    eod_token: int | None = None,
 ) -> DataFrame:
     """Materialize the packed training sequences: one row per chunk with
     the reassembled ``tokens`` array (length ``seq_len`` except the final
@@ -201,7 +216,9 @@ def pack_sequences(
     chunk ids are a dense sequence); pieces are reassembled in global
     order with ``array_sort`` on (piece_start, slice) structs, then
     flattened."""
-    pieces = pack_pieces(df, seq_len, tokens_col, length_col, order_cols, id_col)
+    pieces = pack_pieces(
+        df, seq_len, tokens_col, length_col, order_cols, id_col, eod_token
+    )
     out = (
         pieces.groupBy("chunk_id")
         .agg(

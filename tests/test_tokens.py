@@ -145,6 +145,23 @@ def test_split_expr_deterministic_and_balanced(spark):
     assert a + tr == 2000
 
 
+def test_pack_with_eod_separator(corpus):
+    rows, df = corpus
+    L = 40
+    EOD = 40000  # outside the corpus vocab → count check is exact
+    flat = []
+    for _, toks, _ in sorted(rows):
+        flat.extend(toks + [EOD])
+    expected = {c: flat[c * L : (c + 1) * L] for c in range((len(flat) + L - 1) // L)}
+    got = {
+        r["chunk_id"]: list(r["tokens"])
+        for r in pack_sequences(df, L, eod_token=EOD).collect()
+    }
+    assert got == expected
+    # every document boundary is marked: EOD count == doc count
+    assert sum(t == EOD for ch in got.values() for t in ch) == len(rows)
+
+
 def test_pack_respects_explicit_order_cols(spark):
     # packing ordered by a priority column, not the id
     df = spark.createDataFrame(
