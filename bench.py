@@ -490,6 +490,77 @@ def run_multi_table_bench(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_tok_pack_bench(spark) -> dict:
+    """Sequence packing at bulk scale: 2M synthetic docs (~130M tokens)
+    packed into 2048-token training sequences. Reports the scalar-audit
+    pass (pack_chunks_meta — chunk shuffle carries only scalars), the full
+    materialized pack (pack_sequences — one shuffle of token pieces), and
+    the prefix-sum stage both ways at 100M skinny rows: the distributed
+    form (range partition + per-partition windows) vs the naive
+    single-partition global window. The naive form is ONE serial task —
+    parity at 20M rows, 5× slower at 100M, and unrunnable at cluster-scale
+    row counts; the crossover on this host is the measurable shadow of the
+    scale killer the operator exists to avoid."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.tokens import (
+        exclusive_prefix_sum,
+        pack_chunks_meta,
+        pack_sequences,
+    )
+
+    n_docs = int(os.environ.get("BENCH_TOK_PACK_DOCS", "2000000"))
+    n_pref = int(os.environ.get("BENCH_TOK_PACK_PREFIX_DOCS", "100000000"))
+    out: dict = {"docs": n_docs, "prefix_docs": n_pref}
+
+    # prefix-sum machinery alone, on skinny (order, length) rows at 10×
+    # scale — the regime where the single-partition global window becomes
+    # the straggler the distributed form exists to avoid
+    skinny = spark.range(n_pref).selectExpr(
+        "id AS doc_id", "CAST(16 + id % 97 AS INT) AS n_tok"
+    )
+    t0 = time.monotonic()
+    off = exclusive_prefix_sum(skinny, "n_tok", ["doc_id"], out_col="_st")
+    total = off.selectExpr("max(_st + n_tok) AS t").collect()[0]["t"]
+    out["dist_prefix_sec"] = round(time.monotonic() - t0, 3)
+    getattr(off, "_dss_prefix_cache").unpersist()
+
+    t0 = time.monotonic()
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = skinny.withColumn(
+        "_st", F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0))
+    )
+    naive_total = naive.selectExpr("max(_st + n_tok) AS t").collect()[0]["t"]
+    out["global_window_prefix_sec"] = round(time.monotonic() - t0, 3)
+    assert int(naive_total) == int(total)
+
+    # full pack with materialized token arrays
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "CAST(16 + id % 97 AS INT) AS n_tok",
+        "transform(sequence(1, CAST(16 + id % 97 AS INT)), "
+        "x -> CAST((id * 31 + x * 7) % 32000 AS INT)) AS tokens",
+    )
+    out["tokens"] = int(
+        docs.selectExpr("sum(CAST(n_tok AS BIGINT)) AS t").collect()[0]["t"]
+    )
+
+    t0 = time.monotonic()
+    meta = pack_chunks_meta(docs, 2048)
+    out["chunks"] = meta.count()
+    out["meta_sec"] = round(time.monotonic() - t0, 3)
+    getattr(meta, "_dss_prefix_cache").unpersist()
+
+    t0 = time.monotonic()
+    packed = pack_sequences(docs, 2048)
+    n_chunks = packed.count()
+    out["pack_sec"] = round(time.monotonic() - t0, 3)
+    getattr(packed, "_dss_prefix_cache").unpersist()
+    assert n_chunks == out["chunks"]
+    return out
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from data_sync_spark.session import get_spark
@@ -526,6 +597,9 @@ def main() -> int:
     multi_table = None
     if os.environ.get("BENCH_MULTI_TABLE", "1") != "0":
         multi_table = run_multi_table_bench(spark)
+    tok_pack = None
+    if os.environ.get("BENCH_TOK_PACK", "1") != "0":
+        tok_pack = run_tok_pack_bench(spark)
 
     # Full per-run detail goes to a FILE; stdout's final line is a COMPACT
     # summary (headline median + per-query medians) so the driver's tail
@@ -539,6 +613,7 @@ def main() -> int:
         "cc_10m": cc_10m,
         "cc_contract": cc_contract,
         "multi_table": multi_table,
+        "tok_pack": tok_pack,
         "bench_runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

@@ -67,14 +67,24 @@ def exclusive_prefix_sum(
     so any partition count gives identical values. ``order_cols`` must be a
     total order (no ties), else within-tie order is undefined.
 
-    The returned DataFrame is persisted (the range partitioning must be
-    computed once and reused by the two passes); callers that materialize
-    downstream results should ``unpersist()`` it via ``.unpersist()`` on
-    the return value when done.
+    The offsets are computed on a SKINNY projection (order key + length
+    only) and joined back by the unique order key — the payload columns
+    (token arrays) never enter the prefix-sum shuffle or the cache, so the
+    range repartition and the persisted blocks cost O(rows), not O(tokens);
+    when the input has no payload columns the join back is skipped
+    entirely. On a single host the one-partition global window is
+    competitive until its serial tail dominates (crossover measured in
+    bench ``tok_pack``); on a cluster it is not a contender — one task
+    owns every row. The skinny intermediate is persisted (the range
+    partitioning must be computed once and reused by the totals pass and
+    the window pass); callers that materialize downstream results can
+    ``unpersist()`` it via the ``_dss_prefix_cache`` attribute on the
+    return value.
     """
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+    skinny = df.select(*order_cols, length_col)
+    part = skinny.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
     # Persist BEFORE the totals collect: the per-partition sums and the
@@ -98,15 +108,33 @@ def exclusive_prefix_sum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = (
+    offsets = (
         part.join(F.broadcast(pref_df), "_pid", "left")
         .withColumn(
             out_col,
             F.coalesce(F.col("_ppre"), F.lit(0))
             + F.coalesce(F.sum(F.col(length_col).cast("long")).over(w), F.lit(0)),
         )
-        .drop("_pid", "_ppre")
+        .select(*order_cols, out_col)
     )
+    if set(df.columns) <= {*order_cols, length_col}:
+        # no payload columns — the windowed skinny result IS the answer;
+        # a join back to df would be a pure no-op shuffle
+        out = (
+            part.join(F.broadcast(pref_df), "_pid", "left")
+            .withColumn(
+                out_col,
+                F.coalesce(F.col("_ppre"), F.lit(0))
+                + F.coalesce(
+                    F.sum(F.col(length_col).cast("long")).over(w), F.lit(0)
+                ),
+            )
+            .drop("_pid", "_ppre")
+        )
+    else:
+        # join the offsets back by the unique order key; AQE picks
+        # broadcast when the skinny offset relation fits, sort-merge beyond
+        out = df.join(offsets, on=list(order_cols))
     # keep a handle so callers can unpersist the upstream cache
     out._dss_prefix_cache = part  # type: ignore[attr-defined]
     return out
