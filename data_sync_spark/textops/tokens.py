@@ -81,6 +81,8 @@ def exclusive_prefix_sum(
     ``unpersist()`` it via the ``_dss_prefix_cache`` attribute on the
     return value.
     """
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
     skinny = df.select(*order_cols, length_col)
@@ -166,7 +168,8 @@ def pack_pieces(
     the scale shape is unchanged."""
     order_cols = list(order_cols or [id_col])
     L = int(seq_len)
-    assert L > 0
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     if eod_token is not None:
         df = df.withColumn(
             tokens_col,
