@@ -812,6 +812,24 @@ def _q_tok_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(keep)
 
 
+def _q_tok_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle under the oracle: every doc's
+    stable training position = dense rank over (portable-hash(id), id),
+    computed with the distributed global_rank (prefix sum of ones — no
+    single-partition row_number window). The oracle's row_number() over
+    the same keys must reproduce the permutation exactly."""
+    from data_sync_spark.textops.tokens import shuffle_positions
+
+    _register(spark, sf_dir, names=("documents",))
+    out = shuffle_positions(spark.table("documents").select("doc_id"))
+    cache = getattr(out, "_dss_prefix_cache", None)
+    keep = _result_dir("tok_shuffle")
+    out.write.mode("overwrite").parquet(keep)
+    if cache is not None:
+        cache.unpersist()
+    return spark.read.parquet(keep)
+
+
 def _q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination under the oracle: deterministic 80/20
     hash split of documents, then per-eval-doc fraction of distinct word
@@ -1044,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard": _q_doc_ngram_jaccard,
     "doc_winnow": _q_doc_winnow,
     "tok_pack": _q_tok_pack,
+    "tok_shuffle": _q_tok_shuffle,
     "tok_contamination": _q_tok_contamination,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,
@@ -1820,6 +1839,12 @@ GROUP BY eg.doc_id
 ORACLES.update(
     {
         "tok_pack": _DUCK_TOK_PACK_SQL,
+        "tok_shuffle": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM (SELECT doc_id, ({_dh('CAST(doc_id AS VARCHAR)')}) AS h
+                  FROM documents)
+        """,
         "tok_contamination": _duck_contamination_sql(shingle_n=3, eval_pct=20),
         "doc_dedup_groups": _duck_dedup_groups_sql(),
         "emb_ivf_build": _DUCK_IVF_BUILD_SQL,

@@ -26,8 +26,10 @@ from data_sync_spark.textops.similarity import (  # noqa: F401
 )
 from data_sync_spark.textops.tokens import (  # noqa: F401
     exclusive_prefix_sum,
+    global_rank,
     ngram_contamination,
     pack_chunks_meta,
     pack_sequences,
+    shuffle_positions,
     split_expr,
 )

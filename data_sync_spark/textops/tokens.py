@@ -263,6 +263,40 @@ def pack_sequences(
     return out
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global rank over a total order — the scalable stand-in
+    for ``row_number() OVER (ORDER BY ...)`` (which collapses to one
+    partition). Rank = exclusive prefix sum of ones, so it rides the same
+    range-partition machinery as sequence packing. Used for deterministic
+    corpus-shuffle ordering: rank over a portable hash of the id gives
+    every document a stable shuffled training position."""
+    tmp = df.withColumn("_one", F.lit(1))
+    out = exclusive_prefix_sum(
+        tmp, "_one", order_cols, out_col=out_col, n_partitions=n_partitions
+    ).drop("_one")
+    return out
+
+
+def shuffle_positions(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "pos"
+) -> DataFrame:
+    """Deterministic global corpus shuffle: every row gets a stable
+    pseudo-random training position — rank over (portable-hash(id), id).
+    The hash is the md5-based engine-portable one, so the DuckDB oracle
+    replicates the permutation exactly; the id tiebreak makes the order
+    total under hash collisions."""
+    keyed = df.withColumn(
+        "_shuf", F.expr(f"{_h(f'CAST({id_col} AS STRING)')}")
+    )
+    out = global_rank(keyed, ["_shuf", id_col], out_col=out_col)
+    return out.drop("_shuf")
+
+
 def split_expr(id_col: str, eval_pct: int = 20, buckets: int = 100):
     """Deterministic, engine-portable split assignment: a document is
     ``eval`` iff ``H(CAST(id AS STRING)) % buckets < eval_pct`` with the

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from data_sync_spark.textops.tokens import (
     exclusive_prefix_sum,
+    global_rank,
     ngram_contamination,
     pack_chunks_meta,
     pack_sequences,
+    shuffle_positions,
     split_expr,
 )
 
@@ -160,6 +162,24 @@ def test_pack_with_eod_separator(corpus):
     assert got == expected
     # every document boundary is marked: EOD count == doc count
     assert sum(t == EOD for ch in got.values() for t in ch) == len(rows)
+
+
+def test_global_rank_is_dense_row_number(spark):
+    df = spark.createDataFrame([(30,), (7,), (99,), (-5,)], "k long")
+    got = {r["k"]: r["pos"] for r in global_rank(df, ["k"]).collect()}
+    assert got == {-5: 0, 7: 1, 30: 2, 99: 3}
+
+
+def test_shuffle_positions_is_a_permutation_and_deterministic(spark):
+    n = 5000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["pos"] for r in shuffle_positions(df).collect()}
+    b = {r["doc_id"]: r["pos"] for r in shuffle_positions(df).collect()}
+    assert a == b  # deterministic
+    assert sorted(a.values()) == list(range(n))  # dense permutation
+    # actually shuffled: identity order would keep long ascending runs
+    ordered = [a[i] for i in range(200)]
+    assert ordered != sorted(ordered)
 
 
 def test_pack_respects_explicit_order_cols(spark):
