@@ -40,11 +40,13 @@ from data_sync_spark.textops.dedup import _h, shingle_hash_array
 
 __all__ = [
     "exclusive_prefix_sum",
-    "pack_pieces",
-    "pack_chunks_meta",
-    "pack_sequences",
-    "split_expr",
+    "global_rank",
     "ngram_contamination",
+    "pack_chunks_meta",
+    "pack_pieces",
+    "pack_sequences",
+    "shuffle_positions",
+    "split_expr",
 ]
 
 
@@ -110,33 +112,33 @@ def exclusive_prefix_sum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
+    ranked = (
         part.join(F.broadcast(pref_df), "_pid", "left")
         .withColumn(
             out_col,
             F.coalesce(F.col("_ppre"), F.lit(0))
             + F.coalesce(F.sum(F.col(length_col).cast("long")).over(w), F.lit(0)),
         )
-        .select(*order_cols, out_col)
+        .drop("_pid", "_ppre")
     )
     if set(df.columns) <= {*order_cols, length_col}:
         # no payload columns — the windowed skinny result IS the answer;
         # a join back to df would be a pure no-op shuffle
-        out = (
-            part.join(F.broadcast(pref_df), "_pid", "left")
-            .withColumn(
-                out_col,
-                F.coalesce(F.col("_ppre"), F.lit(0))
-                + F.coalesce(
-                    F.sum(F.col(length_col).cast("long")).over(w), F.lit(0)
-                ),
-            )
-            .drop("_pid", "_ppre")
-        )
+        out = ranked
     else:
         # join the offsets back by the unique order key; AQE picks
-        # broadcast when the skinny offset relation fits, sort-merge beyond
-        out = df.join(offsets, on=list(order_cols))
+        # broadcast when the skinny offset relation fits, sort-merge
+        # beyond. NULL-SAFE equality: a plain inner equi-join would
+        # silently drop rows whose order key is null (the window pass
+        # counted them — sorted first — so the streams would diverge).
+        offsets = ranked.select(
+            *[F.col(c).alias(f"_o_{c}") for c in order_cols], out_col
+        )
+        cond = None
+        for c in order_cols:
+            eq = df[c].eqNullSafe(offsets[f"_o_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        out = df.join(offsets, cond).drop(*[f"_o_{c}" for c in order_cols])
     # keep a handle so callers can unpersist the upstream cache
     out._dss_prefix_cache = part  # type: ignore[attr-defined]
     return out
@@ -276,9 +278,12 @@ def global_rank(
     corpus-shuffle ordering: rank over a portable hash of the id gives
     every document a stable shuffled training position."""
     tmp = df.withColumn("_one", F.lit(1))
-    out = exclusive_prefix_sum(
+    ranked = exclusive_prefix_sum(
         tmp, "_one", order_cols, out_col=out_col, n_partitions=n_partitions
-    ).drop("_one")
+    )
+    out = ranked.drop("_one")
+    # .drop() returns a fresh DataFrame — re-attach the unpersist handle
+    out._dss_prefix_cache = ranked._dss_prefix_cache  # type: ignore[attr-defined]
     return out
 
 
@@ -293,8 +298,10 @@ def shuffle_positions(
     keyed = df.withColumn(
         "_shuf", F.expr(f"{_h(f'CAST({id_col} AS STRING)')}")
     )
-    out = global_rank(keyed, ["_shuf", id_col], out_col=out_col)
-    return out.drop("_shuf")
+    ranked = global_rank(keyed, ["_shuf", id_col], out_col=out_col)
+    out = ranked.drop("_shuf")
+    out._dss_prefix_cache = ranked._dss_prefix_cache  # type: ignore[attr-defined]
+    return out
 
 
 def split_expr(id_col: str, eval_pct: int = 20, buckets: int = 100):

@@ -164,6 +164,29 @@ def test_pack_with_eod_separator(corpus):
     assert sum(t == EOD for ch in got.values() for t in ch) == len(rows)
 
 
+def test_prefix_sum_keeps_null_order_keys_in_payload_branch(spark):
+    # a null order key must survive the offsets join-back (null-safe
+    # equality) and land where the window ranked it (nulls first)
+    df = spark.createDataFrame(
+        [(None, 5, "a"), (1, 3, "b"), (2, 2, "c")],
+        "k long, n int, payload string",
+    )
+    rows = {
+        r["payload"]: r["seq_start"]
+        for r in exclusive_prefix_sum(df, "n", ["k"], n_partitions=2).collect()
+    }
+    assert rows == {"a": 0, "b": 5, "c": 8}  # no silently dropped row
+
+
+def test_shuffle_positions_exposes_unpersist_handle(spark):
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = shuffle_positions(df)
+    cache = getattr(out, "_dss_prefix_cache", None)
+    assert cache is not None  # .drop() must not lose the handle
+    out.collect()
+    cache.unpersist()
+
+
 def test_global_rank_is_dense_row_number(spark):
     df = spark.createDataFrame([(30,), (7,), (99,), (-5,)], "k long")
     got = {r["k"]: r["pos"] for r in global_rank(df, ["k"]).collect()}
