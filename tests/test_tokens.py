@@ -205,6 +205,44 @@ def test_shuffle_positions_is_a_permutation_and_deterministic(spark):
     assert ordered != sorted(ordered)
 
 
+def test_pack_property_random_lengths(spark):
+    """Property: for random doc-length profiles and seq_len, the packed
+    chunks equal the naive concat-and-chunk reference (hypothesis over
+    the length space; one Spark job per example keeps runtime bounded)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lengths=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+        L=st.integers(min_value=1, max_value=64),
+        eod=st.one_of(st.none(), st.just(99999)),
+    )
+    def check(lengths, L, eod):
+        rows = [
+            (i, [((i * 131 + j * 17) % 1000) for j in range(n)], n)
+            for i, n in enumerate(lengths)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>, n_tok int")
+        flat = []
+        for _, toks, _ in rows:
+            flat.extend(toks + ([eod] if eod is not None else []))
+        expected = {
+            c: flat[c * L : (c + 1) * L] for c in range((len(flat) + L - 1) // L)
+        }
+        got = {
+            r["chunk_id"]: list(r["tokens"])
+            for r in pack_sequences(df, L, eod_token=eod).collect()
+        }
+        assert got == expected
+
+    check()
+
+
 def test_pack_respects_explicit_order_cols(spark):
     # packing ordered by a priority column, not the id
     df = spark.createDataFrame(
