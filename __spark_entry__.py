@@ -844,6 +844,79 @@ def _q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(d.filter(~is_eval), d.filter(is_eval), shingle_n=3)
 
 
+TOK_BLOOM_BITS = 1 << 20
+TOK_BLOOM_K = 4
+
+
+def _q_tok_contam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-fast-path decontamination under the oracle: the same 80/20
+    split as tok_contamination, but the train gram set is a Bloom filter
+    (m=2^20 bits, k=4, md5-derived double hashing) — the O(corpus grams)
+    distinct-join shuffle becomes a fixed m/32-word broadcast table
+    (textops.tokens.ngram_contamination_bloom, join mode). The filter is a
+    pure deterministic function of the train texts, so DuckDB reproduces
+    the LOSSY answer exactly: the approximation itself is graded, false
+    positives and all, not waved through as 'close enough'."""
+    from data_sync_spark.textops.tokens import (
+        ngram_contamination_bloom,
+        split_expr,
+    )
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents")
+    is_eval = split_expr("doc_id", eval_pct=20)
+    out = ngram_contamination_bloom(
+        d.filter(~is_eval),
+        d.filter(is_eval),
+        shingle_n=3,
+        bloom_bits=TOK_BLOOM_BITS,
+        bloom_k=TOK_BLOOM_K,
+        mode="join",
+    )
+    cache = getattr(out, "_dss_bloom_cache", None)
+    keep = _result_dir("tok_contam_bloom")
+    out.write.mode("overwrite").parquet(keep)
+    if cache is not None:
+        cache.unpersist()
+    return spark.read.parquet(keep)
+
+
+BIN_SEQ_LEN = 512
+
+
+def _q_tok_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split (harmonic) bin packing under the oracle: each document
+    goes WHOLE into a class-capacity bin (cls = 512 div n_tok, cls docs
+    per bin, fill ≤ 512 by construction; cls 0 = oversize singletons).
+    Assignment = rank within class over (cls, H(id), id) via the
+    distributed global rank — no one-partition window (textops.tokens.
+    pack_bins). Per-bin summary: doc count, fill, padding, first/last doc
+    — equality pins the exact deterministic assignment against the
+    oracle's row_number() twin."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.tokens import pack_bins
+
+    _register(spark, sf_dir, names=("documents",))
+    toks = spark.table("documents").select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_tok")
+    )
+    bins = pack_bins(toks, BIN_SEQ_LEN)
+    out = bins.groupBy("cls", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("fill"),
+        F.greatest(F.lit(BIN_SEQ_LEN).cast("long") - F.sum("n_tok"), F.lit(0).cast("long")).alias("pad"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    cache = getattr(bins, "_dss_prefix_cache", None)
+    keep = _result_dir("tok_bins")
+    out.write.mode("overwrite").parquet(keep)
+    if cache is not None:
+        cache.unpersist()
+    return spark.read.parquet(keep)
+
+
 # Corpus with PLANTED near-duplicates: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01), so a 0.8-threshold
 # near-dup query over the raw table is vacuously empty (judge r3 #1). Every
@@ -1064,6 +1137,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_pack": _q_tok_pack,
     "tok_shuffle": _q_tok_shuffle,
     "tok_contamination": _q_tok_contamination,
+    "tok_contam_bloom": _q_tok_contam_bloom,
+    "tok_bins": _q_tok_bins,
     "media_features": _q_media_features,
     "media_frames": _q_media_frames,
     "emb_topk_cosine": _q_emb_topk_cosine,
@@ -1836,9 +1911,69 @@ GROUP BY eg.doc_id
 """
 
 
+def _duck_contam_bloom_sql(
+    shingle_n: int = 3,
+    eval_pct: int = 20,
+    m: int = TOK_BLOOM_BITS,
+    k: int = TOK_BLOOM_K,
+) -> str:
+    """Twin of tokens.ngram_contamination_bloom: the SAME Bloom filter
+    (md5-derived double-hash constants, 32-bit words) built from the train
+    grams, then per-eval-gram all-k-bits membership — the lossy answer is
+    reproduced bit-for-bit, false positives included."""
+    from data_sync_spark.textops.dedup import MINHASH_PRIME
+    from data_sync_spark.textops.tokens import bloom_params
+
+    a, b = bloom_params()
+    h2 = f"((({a} * h + {b}) % {MINHASH_PRIME}) * 2 + 1)"
+    split = f"({_dh('CAST(doc_id AS VARCHAR)')}) % 100"
+    return f"""
+WITH {_duck_hs_ctes(shingle_n)},
+lab AS (SELECT doc_id, hs, {split} AS hb FROM hs0),
+tg AS (SELECT DISTINCT unnest(hs) AS h FROM lab WHERE hb >= {eval_pct}),
+tp AS (SELECT ((h + i * {h2}) % {m}) AS p
+       FROM tg, UNNEST(range({k})) AS t(i)),
+words AS (SELECT p // 32 AS wid, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+          FROM tp GROUP BY p // 32),
+eg AS (SELECT doc_id, unnest(list_distinct(hs)) AS h FROM lab WHERE hb < {eval_pct}),
+ep AS (SELECT doc_id, h, ((h + i * {h2}) % {m}) AS p
+       FROM eg, UNNEST(range({k})) AS t(i)),
+hit AS (SELECT doc_id, h,
+               sum(CASE WHEN (w.word >> CAST(ep.p % 32 AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS ok
+        FROM ep LEFT JOIN words w ON ep.p // 32 = w.wid
+        GROUP BY doc_id, h)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN ok = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN ok = {k} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS contamination
+FROM hit GROUP BY doc_id
+"""
+
+
+_DUCK_TOK_BINS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ({_dh('CAST(doc_id AS VARCHAR)')}) AS h
+  FROM documents
+),
+c AS (SELECT doc_id, n_tok, {BIN_SEQ_LEN} // n_tok AS cls, h FROM t),
+r AS (SELECT doc_id, n_tok, cls,
+             row_number() OVER (PARTITION BY cls ORDER BY h, doc_id) - 1 AS rk
+      FROM c),
+b AS (SELECT doc_id, n_tok, cls, rk // greatest(cls, 1) AS bin FROM r)
+SELECT cls, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS fill,
+       CAST(greatest({BIN_SEQ_LEN} - sum(n_tok), 0) AS BIGINT) AS pad,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM b GROUP BY cls, bin
+"""
+
+
 ORACLES.update(
     {
         "tok_pack": _DUCK_TOK_PACK_SQL,
+        "tok_contam_bloom": _duck_contam_bloom_sql(),
+        "tok_bins": _DUCK_TOK_BINS_SQL,
         "tok_shuffle": f"""
             SELECT doc_id,
                    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos

@@ -243,6 +243,194 @@ def test_pack_property_random_lengths(spark):
     check()
 
 
+@pytest.fixture(scope="module")
+def text_corpus(spark):
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(160)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_contamination_superset_and_mode_agreement(text_corpus):
+    from data_sync_spark.textops.tokens import ngram_contamination_bloom
+
+    is_eval = split_expr("doc_id", eval_pct=25)
+    train, ev = text_corpus.filter(~is_eval), text_corpus.filter(is_eval)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination(train, ev, shingle_n=3).collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination_bloom(
+            train, ev, shingle_n=3, bloom_bits=1 << 16, bloom_k=4, mode="join"
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in ngram_contamination_bloom(
+            train, ev, shingle_n=3, bloom_bits=1 << 16, bloom_k=4, mode="arrow"
+        ).collect()
+    }
+    assert join == arrow  # bit-identical across plan shapes
+    assert set(join) == set(exact)
+    for d, (ng, nh) in exact.items():
+        assert join[d][0] == ng  # same distinct-gram denominator
+        assert join[d][1] >= nh  # bloom hits are a superset (one-sided error)
+
+
+def test_bloom_contamination_clean_doc_stays_clean_at_large_m(spark):
+    # disjoint vocabularies + a 2^22-bit filter: FPR ~1e-10 per gram —
+    # the clean eval doc must read 0 (deterministic: same result each run)
+    from data_sync_spark.textops.tokens import ngram_contamination_bloom
+
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "ii jj kk ll mm nn")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "aa bb cc dd ee"), (11, "xx yy zz uu vv ww")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hit"], r["contamination"])
+        for r in ngram_contamination_bloom(
+            train, ev, shingle_n=3, bloom_bits=1 << 22, bloom_k=4
+        ).collect()
+    }
+    assert out[10] == (3, 1.0)  # all 3 trigrams of doc 10 are in train
+    assert out[11] == (0, 0.0)  # disjoint vocab, no false positive at this m
+
+
+def test_bloom_param_validation(text_corpus):
+    from data_sync_spark.textops.tokens import ngram_contamination_bloom
+
+    with pytest.raises(ValueError, match="power of two"):
+        ngram_contamination_bloom(text_corpus, text_corpus, bloom_bits=1000)
+    with pytest.raises(ValueError, match="bloom_k"):
+        ngram_contamination_bloom(text_corpus, text_corpus, bloom_k=0)
+    with pytest.raises(ValueError, match="mode"):
+        ngram_contamination_bloom(text_corpus, text_corpus, mode="nope")
+
+
+@pytest.fixture(scope="module")
+def length_profile(spark):
+    rng = random.Random(19)
+    rows = [(i, rng.randint(1, 90)) for i in range(300)]
+    rows += [(1000 + i, rng.randint(65, 200)) for i in range(8)]  # oversize at L=64
+    return rows, spark.createDataFrame(rows, "doc_id long, n_tok int")
+
+
+def _bin_stats(rows):
+    fills: dict = {}
+    counts: dict = {}
+    for r in rows:
+        key = (r["cls"], r["bin"])
+        fills[key] = fills.get(key, 0) + r["n_tok"]
+        counts[key] = counts.get(key, 0) + 1
+    return fills, counts
+
+
+def test_pack_bins_validity_and_partition_invariance(length_profile):
+    from data_sync_spark.textops.tokens import pack_bins
+
+    rows, df = length_profile
+    L = 64
+    out = pack_bins(df, L).collect()
+    assert len(out) == len(rows)  # every doc assigned exactly once
+    fills, counts = _bin_stats(out)
+    for (cls, b), fill in fills.items():
+        if cls >= 1:
+            assert fill <= L, f"bin ({cls},{b}) overflows: {fill}"
+            assert counts[(cls, b)] <= cls  # class capacity
+        else:
+            assert counts[(cls, b)] == 1  # oversize docs are singletons
+    # assignment is a pure function of the data, not the partitioning
+    a = {r["doc_id"]: (r["cls"], r["bin"]) for r in out}
+    b = {
+        r["doc_id"]: (r["cls"], r["bin"])
+        for r in pack_bins(df.repartition(7), L).collect()
+    }
+    assert a == b
+
+
+def test_pack_bins_rejects_nonpositive_length(spark):
+    from data_sync_spark.textops.tokens import pack_bins
+
+    df = spark.createDataFrame([(1, 5), (2, 0)], "doc_id long, n_tok int")
+    with pytest.raises(Exception, match="non-positive"):
+        pack_bins(df, 64).collect()
+
+
+def test_pack_bins_bfd_validity_deterministic_and_tighter(length_profile):
+    from data_sync_spark.textops.tokens import pack_bins, pack_bins_bfd
+
+    rows, df = length_profile
+    L = 64
+    out = pack_bins_bfd(df, L, group_docs=64).collect()
+    assert len(out) == len(rows)
+    fills: dict = {}
+    for r in out:
+        fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_tok"]
+    lengths = dict((i, n) for i, n in rows)
+    oversize_docs = {i for i, n in rows if n > L}
+    oversize_bins = {r["bin"] for r in out if r["doc_id"] in oversize_docs}
+    for b, fill in fills.items():
+        if b not in oversize_bins:
+            assert fill <= L, f"bin {b} overflows: {fill}"
+    # an oversize bin holds exactly its one oversize doc
+    for r in out:
+        if r["doc_id"] in oversize_docs:
+            assert fills[r["bin"]] == lengths[r["doc_id"]]
+    # deterministic under repartitioning (rank is partitioning-independent)
+    a = {r["doc_id"]: r["bin"] for r in out}
+    b = {
+        r["doc_id"]: r["bin"]
+        for r in pack_bins_bfd(df.repartition(5), L, group_docs=64).collect()
+    }
+    assert a == b
+    # best-fit against real residuals beats worst-case class capacity here
+    harmonic_bins = {
+        (r["cls"], r["bin"]) for r in pack_bins(df, L).collect()
+    }
+    assert len(fills) <= len(harmonic_bins)
+
+
+def test_write_packed_roundtrip_idempotent_and_upsert(corpus, tmp_path):
+    from data_sync_spark.textops.tokens import write_packed
+
+    rows, df = corpus
+    L = 48
+    path = str(tmp_path / "packed")
+    table, res = write_packed(df, path, L, app_id="pk", batch_id=1)
+    assert res.committed
+    expected = _naive_chunks(rows, L)
+    got = {
+        r["chunk_id"]: list(r["tokens"]) for r in table.read().collect()
+    }
+    assert got == expected  # lake state == pack_sequences semantics
+
+    # exactly-once: replaying the same batch_id is refused, state unchanged
+    _, res2 = write_packed(df, path, L, app_id="pk", batch_id=1)
+    assert not res2.committed
+    assert table.current()["version"] == res.version
+
+    # a later batch over a grown corpus upserts chunks in place
+    extra = [(500 + i, [7] * 9, 9) for i in range(4)]
+    df2 = df.sparkSession.createDataFrame(
+        rows + extra, "doc_id long, tokens array<int>, n_tok int"
+    )
+    table3, res3 = write_packed(df2, path, L, app_id="pk", batch_id=2)
+    assert res3.committed
+    got3 = {
+        r["chunk_id"]: list(r["tokens"]) for r in table3.read().collect()
+    }
+    assert got3 == _naive_chunks(rows + extra, L)
+
+
 def test_pack_respects_explicit_order_cols(spark):
     # packing ordered by a priority column, not the id
     df = spark.createDataFrame(
