@@ -561,6 +561,79 @@ def run_tok_pack_bench(spark) -> dict:
     return out
 
 
+def run_tok_bloom_bench(spark) -> dict:
+    """Exact vs Bloom-filter decontamination on a synthetic corpus large
+    enough that the train side matters (~5-6M distinct grams). Reports
+    wall per path plus the MEASURED false-positive rate — the one-sided
+    error the lossy path trades for replacing the O(corpus grams)
+    distinct-join shuffle with an m/32-word table. On one host the paths
+    are near parity (a few-M-row distinct is cheap here); the asymptotic
+    separation is the train-side shuffle volume, fixed at m/32 for bloom
+    vs O(distinct grams) for exact — see PLANS.md #19."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.tokens import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+        split_expr,
+    )
+
+    n_docs = int(os.environ.get("BENCH_TOK_BLOOM_DOCS", "200000"))
+    m_bits = int(os.environ.get("BENCH_TOK_BLOOM_BITS", str(1 << 26)))
+    out: dict = {"docs": n_docs, "bloom_bits": m_bits, "bloom_k": 4}
+    # corpus with a measurable clean/contaminated split: the first 10
+    # words are shared by every doc in the same (id % 997) class (~200
+    # docs/class, so an eval doc's common grams are ~always in train);
+    # the tail is globally unique per doc (never in train) — the unique
+    # grams are the clean mass the FPR is measured against
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        "array_join(concat("
+        "transform(sequence(1, 10), x -> concat('c', (id % 997) * 37 + x)), "
+        "transform(sequence(1, 14 + CAST(id % 13 AS INT)), "
+        "x -> concat('u', id, '_', x))"
+        "), ' ') AS text",
+    )
+    is_eval = split_expr("doc_id", eval_pct=20)
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+
+    def total(df):
+        r = df.agg(
+            F.sum("n_grams").alias("g"), F.sum("n_hit").alias("h")
+        ).collect()[0]
+        return int(r["g"]), int(r["h"])
+
+    t0 = time.monotonic()
+    grams, exact_hits = total(ngram_contamination(train, ev, shingle_n=3))
+    out["exact_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    bj = ngram_contamination_bloom(
+        train, ev, shingle_n=3, bloom_bits=m_bits, bloom_k=4, mode="join"
+    )
+    g2, join_hits = total(bj)
+    out["bloom_join_sec"] = round(time.monotonic() - t0, 3)
+    getattr(bj, "_dss_bloom_cache").unpersist()
+
+    t0 = time.monotonic()
+    g3, arrow_hits = total(
+        ngram_contamination_bloom(
+            train, ev, shingle_n=3, bloom_bits=m_bits, bloom_k=4, mode="arrow"
+        )
+    )
+    out["bloom_arrow_sec"] = round(time.monotonic() - t0, 3)
+
+    assert g2 == grams and g3 == grams  # same distinct-gram denominator
+    assert join_hits == arrow_hits  # modes bit-identical
+    assert join_hits >= exact_hits  # one-sided error only
+    out["eval_grams"] = grams
+    out["exact_hits"] = exact_hits
+    out["bloom_hits"] = join_hits
+    clean = grams - exact_hits
+    out["measured_fpr"] = round((join_hits - exact_hits) / clean, 6) if clean else 0.0
+    return out
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from data_sync_spark.session import get_spark
@@ -600,6 +673,9 @@ def main() -> int:
     tok_pack = None
     if os.environ.get("BENCH_TOK_PACK", "1") != "0":
         tok_pack = run_tok_pack_bench(spark)
+    tok_bloom = None
+    if os.environ.get("BENCH_TOK_BLOOM", "1") != "0":
+        tok_bloom = run_tok_bloom_bench(spark)
 
     # Full per-run detail goes to a FILE; stdout's final line is a COMPACT
     # summary (headline median + per-query medians) so the driver's tail
@@ -614,6 +690,7 @@ def main() -> int:
         "cc_contract": cc_contract,
         "multi_table": multi_table,
         "tok_pack": tok_pack,
+        "tok_bloom": tok_bloom,
         "bench_runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

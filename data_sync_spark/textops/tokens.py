@@ -188,8 +188,12 @@ def pack_pieces(
     off = exclusive_prefix_sum(df, length_col, order_cols, out_col="_st")
     n = F.col(length_col).cast("long")
     st = F.col("_st")
+    # explode_outer: the n > 0 filter already guarantees a non-empty
+    # sequence, and outer generate skips InferFiltersFromGenerate's
+    # synthesized guard (which would re-allocate the chunk-id range per
+    # row just to test its size — see ngram_contamination)
     pieces = off.filter(n > 0).withColumn(
-        "chunk_id", F.explode(F.expr(f"sequence(_st div {L}, (_st + {length_col} - 1) div {L})"))
+        "chunk_id", F.explode_outer(F.expr(f"sequence(_st div {L}, (_st + {length_col} - 1) div {L})"))
     )
     begin = F.greatest(F.col("chunk_id") * L, st)
     end = F.least((F.col("chunk_id") + 1) * L, st + n)
@@ -338,14 +342,22 @@ def ngram_contamination(
     At 100 TB the train-distinct shuffle is O(corpus grams) — inherent to
     exact decontamination; a Bloom-filter pushdown is the lossy shortcut
     and deliberately not the default."""
+    # explode_OUTER is a deliberate plan fence, not a semantics change
+    # (shingle arrays are never null/empty — the CASE emits ≥1 element):
+    # plain explode triggers InferFiltersFromGenerate, whose synthesized
+    # size(_hs)>0 guard gets the WHOLE shingle pipeline inlined after
+    # project-collapse, with the word-hash array re-expanded at each of
+    # its references — measured 14× slower on the train side (34.9s →
+    # 2.4s at 4.5M grams, bench tok_bloom corpus). The rule skips outer
+    # generate. Plan-pinned: test_tokens.py::test_gram_explode_plan_fence.
     tg = (
         shingle_hash_array(train, text_col=text_col, shingle_n=shingle_n)
-        .select(F.explode("_hs").alias("h"))
+        .select(F.explode_outer("_hs").alias("h"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     eg = shingle_hash_array(eval_df, text_col=text_col, shingle_n=shingle_n).select(
-        id_col, F.explode(F.array_distinct(F.col("_hs"))).alias("h")
+        id_col, F.explode_outer(F.array_distinct(F.col("_hs"))).alias("h")
     )
     return (
         eg.join(tg, "h", "left")
@@ -414,9 +426,12 @@ def gram_bloom_words(
         f"flatten(transform(_hs, h -> transform(sequence(0, {bloom_k - 1}), "
         f"i -> (h + i * {_bloom_h2_sql('h')}) % {bloom_bits}L)))"
     )
+    # explode_outer = InferFiltersFromGenerate fence (see
+    # ngram_contamination): the inferred size()>0 guard would re-evaluate
+    # the whole k×grams position array once more per row
     return (
         shingle_hash_array(train, text_col=text_col, shingle_n=shingle_n)
-        .select(F.explode(F.expr(pos_arr)).alias("p"))
+        .select(F.explode_outer(F.expr(pos_arr)).alias("p"))
         .select(
             F.expr("p div 32").alias("wid"),
             F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("bit"),
@@ -470,8 +485,10 @@ def ngram_contamination_bloom(
         import pandas as pd
 
         arr = np.zeros(m // 32, dtype=np.int64)
-        for r in words.collect():  # bounded by m/32 words by construction
-            arr[r["wid"]] = r["word"]
+        # bounded by m/32 words by construction; Arrow transfer + fancy
+        # indexing — a Python row loop here costs more than the whole job
+        wpdf = words.toPandas()
+        arr[wpdf["wid"].to_numpy()] = wpdf["word"].to_numpy()
         bc = train.sparkSession.sparkContext.broadcast(arr)
         a, b = bloom_params()
 
@@ -515,7 +532,7 @@ def ngram_contamination_bloom(
     # once and the k broadcasts read m/32 rows from memory.
     words = words.persist(StorageLevel.MEMORY_AND_DISK)
     cur = ev.select(
-        id_col, F.explode(F.array_distinct(F.col("_hs"))).alias("h")
+        id_col, F.explode_outer(F.array_distinct(F.col("_hs"))).alias("h")
     ).withColumn("_h2", F.expr(_bloom_h2_sql("h")))
     hit = None
     for i in range(k):

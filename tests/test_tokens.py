@@ -243,6 +243,41 @@ def test_pack_property_random_lengths(spark):
     check()
 
 
+def test_gram_explode_plan_fence(spark):
+    """Plan pin for the InferFiltersFromGenerate fence: exploding the
+    shingle array with plain explode() lets the optimizer synthesize a
+    size(_hs)>0 guard that, after project-collapse, inlines the WHOLE
+    shingle pipeline into the filter with the word-hash array re-expanded
+    at each reference — md5 appears 8× in the plan instead of 2× and the
+    train side of ngram_contamination measured 14× slower (34.9s → 2.4s
+    at 4.5M grams). explode_outer skips the rule; shingle arrays are
+    never null/empty (the CASE emits ≥1 element), so semantics are
+    unchanged. This pins every gram-exploding production path."""
+    from data_sync_spark.textops.dedup import shingle_hash_array
+    from data_sync_spark.textops.tokens import (
+        gram_bloom_words,
+        ngram_contamination,
+    )
+
+    docs = spark.range(4).selectExpr(
+        "id AS doc_id", "concat('a b c d e ', id) AS text"
+    )
+    # the fenced building block: md5 exactly twice (word transform +
+    # short-doc whole-text fallback), never inside a synthesized filter
+    fenced = shingle_hash_array(docs).select(F.explode_outer("_hs").alias("h"))
+    p = fenced._jdf.queryExecution().executedPlan().toString()
+    assert p.count("md5(") == 2, p[:2000]
+    # and the production consumers stay fenced end-to-end: per plan, the
+    # train-side gram source contributes exactly 2 md5 sites
+    for df, n_expect in [
+        (gram_bloom_words(docs, bloom_bits=1 << 10, bloom_k=2), 2),
+        # exact path: train 2 + eval 2 (independent shingle pipelines)
+        (ngram_contamination(docs, docs), 4),
+    ]:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert p.count("md5(") == n_expect, p[:2000]
+
+
 @pytest.fixture(scope="module")
 def text_corpus(spark):
     rng = random.Random(3)
