@@ -351,6 +351,57 @@ def test_bloom_param_validation(text_corpus):
         ngram_contamination_bloom(text_corpus, text_corpus, mode="nope")
 
 
+def test_bloom_contamination_property_random_corpora(spark):
+    """Property over random corpora (short docs hit the whole-text
+    fallback; overlapping vocab exercises real hits): for any split,
+    bloom hits are a superset of exact hits with identical distinct-gram
+    denominators, and the join/arrow modes agree bit-for-bit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_sync_spark.textops.tokens import ngram_contamination_bloom
+
+    word = st.integers(min_value=0, max_value=12).map(lambda i: f"v{i}")
+    text = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(text, min_size=2, max_size=14),
+        m_pow=st.integers(min_value=10, max_value=18),
+        k=st.integers(min_value=1, max_value=6),
+    )
+    def check(texts, m_pow, k):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        train, ev = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+        if ev.count() == 0:
+            return
+        exact = {
+            r["doc_id"]: (r["n_grams"], r["n_hit"])
+            for r in ngram_contamination(train, ev, shingle_n=3).collect()
+        }
+        outs = []
+        for mode in ("join", "arrow"):
+            outs.append({
+                r["doc_id"]: (r["n_grams"], r["n_hit"])
+                for r in ngram_contamination_bloom(
+                    train, ev, shingle_n=3,
+                    bloom_bits=1 << m_pow, bloom_k=k, mode=mode,
+                ).collect()
+            })
+        assert outs[0] == outs[1]
+        assert set(outs[0]) == set(exact)
+        for d, (ng, nh) in exact.items():
+            assert outs[0][d][0] == ng
+            assert outs[0][d][1] >= nh
+
+    check()
+
+
 @pytest.fixture(scope="module")
 def length_profile(spark):
     rng = random.Random(19)
