@@ -271,6 +271,23 @@ def simhash_near_pairs(
     (pigeonhole: pairs within ``max_hamming ≤ blocks - 1`` share ≥1 exact
     block), join on (block_id, block_value), verify Hamming distance."""
     sig = simhash(df, text_col, id_col, bits=bits)
+    # Pushdown fence (same mechanism as streaming.wire._filter_no_pushdown,
+    # measured there on the from_json path): the block join keys derive
+    # from the NULLABLE simhash aggregate, so InferFiltersFromConstraints
+    # adds isnotnull(block) below the join, and predicate pushdown
+    # substitutes the WHOLE simhash expression (word-md5 transform +
+    # double aggregate) into that filter — every row then computes its
+    # signature twice. A nondeterministic column in the project list,
+    # referenced by an always-true filter, stops the substitution: the
+    # isnotnull evaluates on the simhash ATTRIBUTE above the projection.
+    # (MinHash LSH doesn't need this: its band key md5(concat_ws(..)) is
+    # non-nullable, so no isnotnull is ever inferred.) Plan-pinned:
+    # test_textops.py::test_simhash_pairs_compute_signature_once.
+    sig = (
+        sig.withColumn("_fence", F.rand(42))
+        .filter(F.col("_fence") >= F.lit(-1.0))
+        .drop("_fence")
+    )
     width = bits // blocks
     # blocks exploded per row from one scan; the self-join reuses the
     # shuffle exchange (same child plan on both sides) — no persist needed

@@ -75,6 +75,31 @@ def test_simhash_and_near_pairs(spark, docs):
     assert all(h <= 6 for h in pairs.hamming)
 
 
+def test_simhash_pairs_compute_signature_once(spark):
+    """Plan pin for the simhash pushdown fence: the block join keys derive
+    from the NULLABLE simhash aggregate, so without the fence the
+    optimizer's inferred isnotnull(block) filter gets the whole signature
+    expression (word-md5 transform + double aggregate) substituted below
+    the projection — every row computes its simhash twice. Fenced, md5
+    appears only in the two join children's projections (one evaluation
+    per row; the self-join still reuses one exchange) and never inside a
+    Filter."""
+    # Range source (not a LocalRelation): ConvertToLocalRelation would
+    # otherwise eagerly fold the signature projection away entirely
+    src = spark.range(6).selectExpr(
+        "id AS doc_id", "concat('a b c d e f g h ', id) AS text"
+    )
+    d = simhash_near_pairs(src)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5(") == 2, plan[:2000]
+    assert not any(
+        "Filter" in ln and "md5(" in ln for ln in plan.splitlines()
+    ), plan[:2000]
+    # and the fence does not break the self-join's exchange reuse
+    d.collect()
+    assert "ReusedExchange" in d._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ngram_jaccard_verification(spark, docs):
     cand = spark.createDataFrame(
         pd.DataFrame([(0, 1), (0, 2), (0, 3)], columns=["id_a", "id_b"])
