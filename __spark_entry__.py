@@ -541,6 +541,118 @@ def _q_cdc_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version change feed (Delta CDF / Iceberg incremental-scan
+    analog, ``lake/changes.py``): batches 0-1 MERGE through the engine
+    (snapshot v1), batches 2-3 complete the replay, then
+    ``read_changes(v1)`` — on the INCREMENTAL path (window delta files +
+    one bucket-pruned classification join; O(window), never O(table)) —
+    must emit exactly the insert/update/delete diff of the two LWW states,
+    post-image included, stale/no-op changes invisible. Oracle = the full
+    outer diff of the prefix and full window/row_number replays."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    changes = _changes(spark, sf_dir).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-changes-")
+    try:
+        path = os.path.join(tmp, "t")
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+
+        def batch(b: int) -> DataFrame:
+            return changes.filter(
+                (F.col("log_offset") >= b * step) & (F.col("log_offset") < (b + 1) * step)
+            )
+
+        table = LakeTable.create(spark, path, TARGET_SCHEMA, n_buckets=8)
+        for b in (0, 1):
+            table.merge(
+                net_changes(batch(b), cfg, table.schema), app_id="cf", batch_id=b, mor=True
+            )
+        v1 = table.current()["version"]
+        for b in (2, 3):
+            table.merge(
+                net_changes(batch(b), cfg, table.schema), app_id="cf", batch_id=b, mor=True
+            )
+        out = table.read_changes(v1, strategy="incremental").select(
+            "doc_id",
+            "change_type",
+            "source",
+            "n_tok",
+            F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        )
+        keep = _result_dir("changes")
+        out.write.mode("overwrite").parquet(keep)
+        return spark.read.parquet(keep)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + delta consolidation under the oracle: a low threshold
+    makes auto-compaction fire mid-replay, then a full explicit compact
+    rewrites every dirty bucket — the resolved state must be byte-equal to
+    the straight LWW replay (compaction is state-invariant by contract;
+    ``lake/table.py::compact``). The read after compaction streams clean
+    base files only (no MOR resolution aggregation left)."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    changes = _changes(spark, sf_dir).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-compact-")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), TARGET_SCHEMA, n_buckets=8,
+            compact_threshold=2,
+        )
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+        for b in range(4):
+            batch = changes.filter(
+                (F.col("log_offset") >= b * step) & (F.col("log_offset") < (b + 1) * step)
+            )
+            table.merge(
+                net_changes(batch, cfg, table.schema), app_id="cp", batch_id=b, mor=True
+            )
+        table.compact()
+        manifest = table.current()
+        assert not any(
+            e.get("delta") for e in manifest["files"].values()
+        ), "compaction left delta files behind"
+        out = table.read().select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        )
+        keep = _result_dir("compact")
+        out.write.mode("overwrite").parquet(keep)
+        return spark.read.parquet(keep)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 route predicate: PART + include + exclude → default deny rest."""
     from pyspark.sql import functions as F
@@ -1116,6 +1228,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lineage": _q_cdc_lineage,
     "cdc_multi_route": _q_cdc_multi_route,
     "cdc_resume": _q_cdc_resume,
+    "cdc_changes": _q_cdc_changes,
+    "cdc_compact": _q_cdc_compact,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
     "column_filter": _q_column_filter,
@@ -1300,6 +1414,48 @@ ORACLES: dict[str, str] = {
         {_CH}
         SELECT doc_id, source, n_tok, log_offset AS applied_off,
                {TOKENS_DUCK} AS tokens_str
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+          AND op <> 'delete'
+    """,
+    # change feed (v1 = after batches 0-1, i.e. offsets < 2*(max//4+1)):
+    # the diff of the prefix LWW state vs the full LWW state — insert when
+    # the key was absent/deleted at v1, update when live at both (winner in
+    # the window), delete when the window's winner is a delete of a
+    # previously-live key; winner-in-prefix keys and deletes of absent keys
+    # are invisible; post-image nulled for deletes
+    "cdc_changes": f"""
+        {_CH},
+        p AS (SELECT 2 * (max(log_offset) // 4 + 1) AS split FROM changes),
+        w2 AS (
+          SELECT doc_id, op, source, n_tok, log_offset,
+                 {TOKENS_DUCK} AS tokens_str
+          FROM changes
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY log_offset DESC, seq DESC) = 1
+        ),
+        w1 AS (
+          SELECT doc_id, op FROM changes, p WHERE log_offset < p.split
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY log_offset DESC, seq DESC) = 1
+        )
+        SELECT w2.doc_id,
+               CASE WHEN w2.op <> 'delete'
+                         AND (w1.doc_id IS NULL OR w1.op = 'delete') THEN 'insert'
+                    WHEN w2.op <> 'delete' THEN 'update'
+                    ELSE 'delete' END AS change_type,
+               CASE WHEN w2.op <> 'delete' THEN w2.source END AS source,
+               CASE WHEN w2.op <> 'delete' THEN w2.n_tok END AS n_tok,
+               CASE WHEN w2.op <> 'delete' THEN w2.tokens_str END AS tokens_str
+        FROM w2 LEFT JOIN w1 USING (doc_id) CROSS JOIN p
+        WHERE w2.log_offset >= p.split
+          AND NOT (w2.op = 'delete' AND (w1.doc_id IS NULL OR w1.op = 'delete'))
+    """,
+    # compaction is state-invariant: the post-compaction clean-base read
+    # must equal the straight LWW replay
+    "cdc_compact": f"""
+        {_CH}
+        SELECT doc_id, source, n_tok, {TOKENS_DUCK} AS tokens_str
         FROM changes
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
           AND op <> 'delete'

@@ -45,6 +45,7 @@ def replay(
     target_cols: list[str] | None = None,
     key_cols: tuple[str, ...] = ("doc_id",),
     initial_state: dict[tuple, dict[str, Any]] | None = None,
+    record_version: bool = False,
 ) -> dict[tuple, dict[str, Any]]:
     """Serial replay → {key tuple: row dict}. ``initial_state`` seeds the
     replay (e.g. to chain replays under different configs across a hot
@@ -76,6 +77,11 @@ def replay(
         for c in payload_cols:
             payload[c] = None if c in filtered else d.get(c)
         upsert = _upsert_mode(cfg, source)
+        if record_version:
+            # expose the applied LWW version (the engine's per-row _ver)
+            # so change-feed tests can detect winner replacement even when
+            # the payload image is unchanged
+            payload["_applied"] = (d["log_offset"], d["seq"])
         if op == "delete":
             state.pop(key, None)
         elif op == "insert":

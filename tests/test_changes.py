@@ -1,0 +1,262 @@
+"""Version-to-version change feed (lake/changes.py) vs the dict-replay
+oracle, incremental path vs snapshot-diff cross-checks, and windows that
+span compaction / COW merges / schema evolution.
+
+Feed semantics under test: a key appears iff its applied LWW winner
+changed between the snapshots — insert (absent→live), update (live→live,
+new winner), delete (live→absent); stale replays, deletes of absent keys
+and tombstone re-deletes are invisible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_sync_spark.config import PipelineConfig
+from data_sync_spark.generator import change_feed
+from data_sync_spark.lake import ChangeFeedUnavailable, LakeTable
+from data_sync_spark.lake.changes import read_changes
+from data_sync_spark.oracle import replay
+from data_sync_spark.pipeline import all_upsert, net_changes
+from data_sync_spark.schema import EVENT_SCHEMA, TARGET_SCHEMA
+
+PAYLOAD = ["doc_id", "tokens", "n_tok", "source"]
+
+
+def _merge_batches(table, events, cfg, batches, app="cf", mor=None):
+    """Merge offset-ranged batches [lo, hi) sequentially; returns versions
+    after each batch."""
+    versions = []
+    if mor is None:
+        mor = all_upsert(cfg)
+    for b, (lo, hi) in enumerate(batches):
+        batch = events.filter(
+            (F.col("log_offset") >= lo) & (F.col("log_offset") < hi)
+        )
+        table.merge(
+            net_changes(batch, cfg, table.schema),
+            app_id=app, batch_id=b, mor=mor,
+        )
+        versions.append(table.current()["version"])
+    return versions
+
+
+def expected_feed(events_pdf, split_off, cfg):
+    """Dict-replay expected diff: state(prefix < split) vs state(all),
+    update iff the applied version changed."""
+    pre = replay(
+        events_pdf[events_pdf.log_offset < split_off],
+        cfg, target_cols=PAYLOAD, record_version=True,
+    )
+    post = replay(events_pdf, cfg, target_cols=PAYLOAD, record_version=True)
+    rows = []
+    for key in set(pre) | set(post):
+        a, b = pre.get(key), post.get(key)
+        if a is not None and b is not None:
+            if a["_applied"] != b["_applied"]:
+                rows.append((key[0], "update", b))
+        elif b is not None:
+            rows.append((key[0], "insert", b))
+        elif a is not None:
+            rows.append((key[0], "delete", None))
+    out = pd.DataFrame(
+        [
+            {
+                "doc_id": k,
+                "change_type": ct,
+                "n_tok": None if p is None else p["n_tok"],
+                "source": None if p is None else p["source"],
+                "tokens": None if p is None else p["tokens"],
+            }
+            for k, ct, p in rows
+        ],
+        columns=["doc_id", "change_type", "n_tok", "source", "tokens"],
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _feed_pdf(df):
+    pdf = df.select("doc_id", "change_type", "n_tok", "source", "tokens").toPandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def assert_feed_equal(actual, expected, msg=""):
+    assert list(actual["doc_id"]) == list(expected["doc_id"]), (
+        f"{msg} keys: only-actual="
+        f"{set(actual['doc_id']) - set(expected['doc_id'])} only-expected="
+        f"{set(expected['doc_id']) - set(actual['doc_id'])}"
+    )
+    for i in range(len(actual)):
+        for col in ("change_type", "n_tok", "source"):
+            av, ev = actual[col].iloc[i], expected[col].iloc[i]
+            a_nan = av is None or (isinstance(av, float) and pd.isna(av))
+            e_nan = ev is None or (isinstance(ev, float) and pd.isna(ev))
+            if a_nan and e_nan:
+                continue
+            assert av == ev, (
+                f"{msg} row {actual['doc_id'].iloc[i]} col {col}: {av!r} != {ev!r}"
+            )
+        av, ev = actual["tokens"].iloc[i], expected["tokens"].iloc[i]
+        av = None if av is None else [int(x) for x in av]
+        ev = None if ev is None else [int(x) for x in ev]
+        assert av == ev, f"{msg} row {actual['doc_id'].iloc[i]} tokens: {av} != {ev}"
+
+
+def test_changes_basic_insert_update_delete(spark, tmp_path):
+    rows = [
+        # batch 0: a, b, c live
+        {"op": "insert", "doc_id": "a", "log_offset": 1, "seq": 0, "tokens": [1], "n_tok": 1, "source": "web"},
+        {"op": "insert", "doc_id": "b", "log_offset": 2, "seq": 0, "tokens": [2], "n_tok": 1, "source": "web"},
+        {"op": "insert", "doc_id": "c", "log_offset": 3, "seq": 0, "tokens": [3], "n_tok": 1, "source": "web"},
+        # batch 1: update a, delete b, insert d, delete of never-seen e
+        {"op": "update", "doc_id": "a", "log_offset": 10, "seq": 0, "tokens": [9, 9], "n_tok": 2, "source": "api"},
+        {"op": "delete", "doc_id": "b", "log_offset": 11, "seq": 0, "tokens": None, "n_tok": None, "source": "web"},
+        {"op": "insert", "doc_id": "d", "log_offset": 12, "seq": 0, "tokens": [4], "n_tok": 1, "source": "web"},
+        {"op": "delete", "doc_id": "e", "log_offset": 13, "seq": 0, "tokens": None, "n_tok": None, "source": "web"},
+    ]
+    events = spark.createDataFrame(pd.DataFrame(rows), schema=EVENT_SCHEMA)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    v0, v1 = _merge_batches(table, events, cfg, [(0, 10), (10, 20)])
+
+    feed = _feed_pdf(table.read_changes(v0, strategy="incremental"))
+    assert list(feed["doc_id"]) == ["a", "b", "d"]
+    assert dict(zip(feed["doc_id"], feed["change_type"])) == {
+        "a": "update", "b": "delete", "d": "insert"
+    }
+    # post-image for update, null payload for delete
+    assert feed.set_index("doc_id").loc["a", "source"] == "api"
+    assert feed.set_index("doc_id").loc["b", "tokens"] is None
+    # c untouched → absent; e never existed → its delete is invisible
+    # full-window feed from v=0: everything is an insert except b (net no-op)
+    full = _feed_pdf(table.read_changes(0))
+    assert dict(zip(full["doc_id"], full["change_type"])) == {
+        "a": "insert", "c": "insert", "d": "insert"
+    }
+
+
+@pytest.mark.parametrize("strategy", ["incremental", "diff"])
+def test_changes_match_oracle_random_feed(spark, tmp_path, strategy):
+    events = change_feed(spark, 6_000, n_keys=400, seed=23)
+    events_pdf = events.toPandas()
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=8)
+    # 4 batches of 1500 offsets; window = batches 2-3 (split at 3000)
+    vs = _merge_batches(
+        table, events, cfg, [(0, 1500), (1500, 3000), (3000, 4500), (4500, 6000)]
+    )
+    feed = _feed_pdf(read_changes(table, vs[1], strategy=strategy))
+    exp = expected_feed(events_pdf, 3000, cfg)
+    assert len(exp) > 0
+    assert_feed_equal(feed, exp, msg=f"[{strategy}]")
+
+
+def test_changes_stale_replay_invisible(spark, tmp_path):
+    """Re-merging an already-applied batch (at-least-once redelivery with a
+    fresh batch_id) loses the per-row LWW guard — the feed must be empty."""
+    events = change_feed(spark, 2_000, n_keys=150, seed=5)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    _merge_batches(table, events, cfg, [(0, 2000)])
+    v1 = table.current()["version"]
+    # redeliver the first half under a different app (so the batch ledger
+    # does not refuse it): every row loses LWW against the applied state
+    first_half = events.filter(F.col("log_offset") < 1000)
+    table.merge(net_changes(first_half, cfg, table.schema), app_id="replayer",
+                batch_id=0, mor=True)
+    v2 = table.current()["version"]
+    assert v2 > v1
+    assert table.read_changes(v1, strategy="incremental").count() == 0
+    assert table.read_changes(v1, strategy="diff").count() == 0
+
+
+def test_changes_window_spanning_compaction(spark, tmp_path):
+    """Compaction commits inside the window are state-invariant; the
+    incremental path must skip them and still read the de-registered delta
+    files of the window's merges."""
+    events = change_feed(spark, 4_000, n_keys=250, seed=31)
+    events_pdf = events.toPandas()
+    cfg = PipelineConfig()
+    # compact_threshold=2 → auto-compaction fires during the window
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4, compact_threshold=2
+    )
+    _merge_batches(table, events.filter(F.col("log_offset") < 1000), cfg, [(0, 1000)])
+    v1 = table.current()["version"]
+    for b, (lo, hi) in enumerate([(1000, 2000), (2000, 3000), (3000, 4000)]):
+        batch = events.filter((F.col("log_offset") >= lo) & (F.col("log_offset") < hi))
+        table.merge(net_changes(batch, cfg, table.schema), app_id="cf",
+                    batch_id=b + 1, mor=True)
+    table.compact()  # explicit full compaction on top of the auto ones
+    ops = [h["summary"].get("operation") for h in table.history()]
+    assert "compact" in ops, ops
+    feed_inc = _feed_pdf(table.read_changes(v1, strategy="incremental"))
+    feed_diff = _feed_pdf(table.read_changes(v1, strategy="diff"))
+    exp = expected_feed(events_pdf, 1000, cfg)
+    assert_feed_equal(feed_inc, exp, msg="[inc/compact]")
+    assert_feed_equal(feed_diff, exp, msg="[diff/compact]")
+
+
+def test_changes_cow_window_falls_back(spark, tmp_path):
+    """Append-mode batches merge via COW — the incremental strategy must
+    refuse, auto must fall back to the snapshot diff and stay correct."""
+    events = change_feed(spark, 3_000, n_keys=200, seed=13)
+    events_pdf = events.toPandas()
+    cfg = PipelineConfig(default_upsert=False)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    _merge_batches(table, events, cfg, [(0, 1500), (1500, 3000)], mor=False)
+    v1_events = events_pdf[events_pdf.log_offset < 1500]
+    v1 = table.history()[1]["version"]  # version after batch 0
+    with pytest.raises(ValueError, match="COW merge"):
+        table.read_changes(v1, strategy="incremental")
+    feed = _feed_pdf(table.read_changes(v1))  # auto → diff
+    exp = expected_feed(events_pdf, 1500, cfg)
+    assert_feed_equal(feed, exp, msg="[cow-fallback]")
+    del v1_events
+
+
+def test_changes_schema_evolution_in_window(spark, tmp_path):
+    """A column added mid-window: the feed carries the to-schema; rows last
+    written before the column exist get null."""
+    events = change_feed(spark, 2_000, n_keys=150, seed=17, extra_from=1000)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    v1_df = events.filter(F.col("log_offset") < 1000).drop("extra_quality")
+    table.merge(net_changes(v1_df, cfg, table.schema), app_id="cf", batch_id=0,
+                mor=True)
+    v1 = table.current()["version"]
+    v2_df = events.filter(F.col("log_offset") >= 1000)
+    table.merge(net_changes(v2_df, cfg, table.schema), app_id="cf", batch_id=1,
+                mor=True)
+    feed = table.read_changes(v1, strategy="incremental")
+    assert "extra_quality" in feed.columns
+    pdf = feed.toPandas()
+    assert len(pdf) > 0
+    live = pdf[pdf.change_type != "delete"]
+    assert live["extra_quality"].notna().all()
+
+
+def test_changes_empty_window_and_validation(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    v = table.current()["version"]
+    assert table.read_changes(v).count() == 0
+    with pytest.raises(ValueError, match="newer than"):
+        table.read_changes(v + 5)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        table.read_changes(v, strategy="bogus")
+
+
+def test_changes_expired_window_unavailable(spark, tmp_path):
+    events = change_feed(spark, 1_200, n_keys=100, seed=3)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=2)
+    _merge_batches(
+        table, events, cfg, [(0, 400), (400, 800), (800, 1200)]
+    )
+    v_old = table.history()[-1]["version"]  # oldest retained right now
+    table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    with pytest.raises(ChangeFeedUnavailable):
+        table.read_changes(v_old).count()
