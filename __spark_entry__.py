@@ -653,6 +653,82 @@ def _q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-feeds-source composability: replay into table A (4 MOR
+    batches), then propagate each inter-version change feed
+    (``read_changes``, incremental path, internal ``_ver`` exposed) as a
+    fresh change-event batch into table B through the full pipeline →
+    net-effect → MERGE stack. B never sees the original feed — only A's
+    emitted diffs — yet must land byte-equal to the straight LWW replay.
+    This is the lakehouse chain the reference cannot express (its sink is
+    a terminal MySQL table): one engine's table is the next engine's
+    binlog."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    changes = _changes(spark, sf_dir).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-chain-")
+    try:
+        a = LakeTable.create(spark, os.path.join(tmp, "a"), TARGET_SCHEMA, n_buckets=8)
+        b_tbl = LakeTable.create(spark, os.path.join(tmp, "b"), TARGET_SCHEMA, n_buckets=4)
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+        prev_v = a.current()["version"]
+        for bi in range(4):
+            batch = changes.filter(
+                (F.col("log_offset") >= bi * step)
+                & (F.col("log_offset") < (bi + 1) * step)
+            )
+            a.merge(
+                net_changes(batch, cfg, a.schema), app_id="up", batch_id=bi, mor=True
+            )
+            cur_v = a.current()["version"]
+            # RAW net feed (classify=False): strictly O(window) — reads
+            # only the window's delta files, zero scan of A. Stale losers
+            # ride along but B's per-row LWW guard re-loses them, so the
+            # chain stays byte-exact.
+            feed = a.read_changes(prev_v, cur_v, include_internal=True,
+                                  strategy="incremental", classify=False)
+            prev_v = cur_v
+            # A's net rows re-expressed as a change-event batch: upsert →
+            # update (upsert-mode set), LWW order from the applied _ver
+            ev = feed.select(
+                F.when(F.col("change_type") == "delete", F.lit("delete"))
+                .otherwise(F.lit("update"))
+                .alias("op"),
+                "doc_id",
+                F.col("_ver.off").alias("log_offset"),
+                F.col("_ver.seq").alias("seq"),
+                "tokens",
+                "n_tok",
+                "source",
+            )
+            b_tbl.merge(
+                net_changes(ev, cfg, b_tbl.schema), app_id="down", batch_id=bi, mor=True
+            )
+        out = b_tbl.read().select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        )
+        keep = _result_dir("chain")
+        out.write.mode("overwrite").parquet(keep)
+        return spark.read.parquet(keep)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_route_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 route predicate: PART + include + exclude → default deny rest."""
     from pyspark.sql import functions as F
@@ -1230,6 +1306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_resume": _q_cdc_resume,
     "cdc_changes": _q_cdc_changes,
     "cdc_compact": _q_cdc_compact,
+    "cdc_chain": _q_cdc_chain,
     "route_include": _q_route_include,
     "route_exclude_only": _q_route_exclude_only,
     "column_filter": _q_column_filter,
@@ -1450,6 +1527,15 @@ ORACLES: dict[str, str] = {
         FROM w2 LEFT JOIN w1 USING (doc_id) CROSS JOIN p
         WHERE w2.log_offset >= p.split
           AND NOT (w2.op = 'delete' AND (w1.doc_id IS NULL OR w1.op = 'delete'))
+    """,
+    # chained propagation preserves state: replay → A, A's change feeds →
+    # B, so B's final state is the same straight LWW replay
+    "cdc_chain": f"""
+        {_CH}
+        SELECT doc_id, source, n_tok, {TOKENS_DUCK} AS tokens_str
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY log_offset DESC, seq DESC) = 1
+          AND op <> 'delete'
     """,
     # compaction is state-invariant: the post-compaction clean-base read
     # must equal the straight LWW replay

@@ -490,6 +490,68 @@ def run_multi_table_bench(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_changefeed_bench(spark) -> dict:
+    """Change feed (lake/changes.py) at a scale shadow of its design point:
+    a bulk-loaded table (BENCH_CF_EVENTS events / BENCH_CF_KEYS keys,
+    compacted to clean base) takes one narrow merge window, then the feed
+    is read both ways. The incremental path reads the window's delta files
+    + a broadcast-filtered slice of the touched buckets — O(window); the
+    snapshot-diff fallback reads and joins BOTH full snapshots — O(table).
+    The gap between the two is the property that matters at 100 TB, where
+    O(table) per poll is unrunnable."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.generator import change_feed
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+
+    n_base = int(os.environ.get("BENCH_CF_EVENTS", "4000000"))
+    n_keys = int(os.environ.get("BENCH_CF_KEYS", "1000000"))
+    n_win = int(os.environ.get("BENCH_CF_WINDOW", "40000"))
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-cf-")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(tmp, "t"), TARGET_SCHEMA, n_buckets=32
+        )
+        base = change_feed(spark, n_base, n_keys=n_keys, seed=73)
+        table.merge(net_changes(base, cfg, table.schema), app_id="cf", batch_id=0,
+                    mor=True)
+        table.compact()
+        v_base = table.current()["version"]
+        win = change_feed(
+            spark, n_win, n_keys=n_keys, seed=74, start_offset=n_base
+        )
+        table.merge(net_changes(win, cfg, table.schema), app_id="cf", batch_id=1,
+                    mor=True)
+        out: dict = {
+            "base_events": n_base, "keys": n_keys, "window_events": n_win,
+        }
+        table.read_changes(v_base, strategy="incremental").count()  # warmup
+        variants = (
+            ("raw_sec", "incremental", False),
+            ("incremental_sec", "incremental", True),
+            ("diff_sec", "diff", True),
+        )
+        for tag, strat, cls in variants:
+            times = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                rows = table.read_changes(
+                    v_base, strategy=strat, classify=cls
+                ).count()
+                times.append(time.monotonic() - t0)
+            out[tag] = round(sorted(times)[1], 3)
+            out[tag.replace("_sec", "_rows")] = rows
+        out["classify_speedup"] = round(out["diff_sec"] / out["incremental_sec"], 2)
+        out["raw_speedup"] = round(out["diff_sec"] / out["raw_sec"], 2)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_tok_pack_bench(spark) -> dict:
     """Sequence packing at bulk scale: 2M synthetic docs (~130M tokens)
     packed into 2048-token training sequences. Reports the scalar-audit
@@ -676,6 +738,9 @@ def main() -> int:
     tok_bloom = None
     if os.environ.get("BENCH_TOK_BLOOM", "1") != "0":
         tok_bloom = run_tok_bloom_bench(spark)
+    changefeed = None
+    if os.environ.get("BENCH_CHANGEFEED", "1") != "0":
+        changefeed = run_changefeed_bench(spark)
 
     # Full per-run detail goes to a FILE; stdout's final line is a COMPACT
     # summary (headline median + per-query medians) so the driver's tail
@@ -691,6 +756,7 @@ def main() -> int:
         "multi_table": multi_table,
         "tok_pack": tok_pack,
         "tok_bloom": tok_bloom,
+        "changefeed": changefeed,
         "bench_runs": runs,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_sync_spark.lake.table import (
+    BROADCAST_MAX_ROWS,
     _OP,
     _VER,
     _VER_TYPE,
@@ -145,6 +146,7 @@ def read_changes(
     to_version: int | None = None,
     include_internal: bool = False,
     strategy: str = "auto",
+    classify: bool = True,
 ) -> DataFrame:
     """Net row-level changes in ``(from_version, to_version]`` — see the
     module docstring for semantics and the two physical strategies.
@@ -153,7 +155,19 @@ def read_changes(
     snapshot diff), ``"incremental"`` (raise :class:`ValueError` if a COW
     merge / rescale in the window makes it unsound — for tests and
     latency-sensitive consumers that would rather fail than scan the
-    table), ``"diff"`` (force the snapshot diff — the cross-check)."""
+    table), ``"diff"`` (force the snapshot diff — the cross-check).
+
+    ``classify=False`` returns the **raw net feed**: ``change_type`` is
+    ``upsert``/``delete`` and no from-state is consulted at all — on the
+    incremental path this reads ONLY the window's delta files, strictly
+    O(window) with zero table scan. The price: stale losers, deletes of
+    absent keys and tombstone re-deletes are *included* (a consumer
+    applying the feed with LWW-upsert semantics gets the identical final
+    state — the feed is idempotent and replay-safe — but it is a superset
+    of the exact diff). ``classify=True`` labels insert/update/delete
+    exactly and suppresses invisible changes, at the cost of one
+    shuffle-free scan of the touched buckets of the ``from`` snapshot
+    (broadcast-semi-filtered map-side for broadcast-sized windows)."""
     if strategy not in ("auto", "incremental", "diff"):
         raise ValueError(f"unknown strategy {strategy!r}")
     to_manifest = (
@@ -199,6 +213,15 @@ def read_changes(
         paths = [p for ps in net_files.values() for p in ps]
         raw = table.spark.read.schema(dschema).parquet(*table._abs(paths))
         cand = _resolve(raw, dschema, keys)
+        if not classify:
+            # raw net feed: window files only — no state read, no join
+            out = cand.withColumn(
+                CHANGE_TYPE,
+                F.when(F.col(_OP) == "drop", F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            )
+            return _project(out, keys, payload, include_internal)
         # Classify against the FROM state of only the touched buckets —
         # this bucket-pruned read is what keeps a narrow window O(changes).
         old = table.read(
@@ -207,6 +230,19 @@ def read_changes(
             include_internal=True,
             include_tombstones=True,
         ).select(*keys, F.col(_VER).alias("_o_ver"), F.col(_OP).alias("_o_op"))
+        # A left join preserving cand can only BROADCAST its right side, and
+        # the from-state is the big side — so for broadcast-sized windows,
+        # first shrink it with a broadcast LEFT SEMI on the candidate keys
+        # (evaluated map-side inside the pruned-bucket scan, no shuffle of
+        # the state), then broadcast the ≤|cand|-row survivor set into the
+        # classification join. Result: a narrow window classifies with ZERO
+        # shuffle of table state. Wide windows (backfill-sized) keep the
+        # plain shuffle join, which AQE can still skew-split.
+        n_cand = cand.count()
+        if n_cand <= BROADCAST_MAX_ROWS:
+            old = F.broadcast(
+                old.join(F.broadcast(cand.select(*keys)), on=keys, how="left_semi")
+            )
         j = cand.join(old, on=keys, how="left")
         win = F.col("_o_ver").isNull() | (F.col(_VER) > F.col("_o_ver"))
         new_live = F.col(_OP) == "set"
@@ -234,11 +270,23 @@ def read_changes(
         old_live = F.coalesce(F.col("_o_op") == "set", F.lit(False))
         src = j
 
-    ct = _classify(win, new_live, old_live)
+    if classify:
+        ct = _classify(win, new_live, old_live)
+    else:
+        # raw labels on the diff fallback: upsert/delete for every key
+        # whose winner changed (stale losers are unreconstructable here,
+        # so this is the raw feed's closest diff-side equivalent)
+        ct = F.when(win & new_live, F.lit("upsert")).when(
+            win & ~new_live, F.lit("delete")
+        )
     out = src.withColumn(CHANGE_TYPE, ct).filter(F.col(CHANGE_TYPE).isNotNull())
+    return _project(out, keys, payload, include_internal)
+
+
+def _project(out: DataFrame, keys, payload, include_internal: bool) -> DataFrame:
     cols = [F.col(k) for k in keys] + [F.col(CHANGE_TYPE)]
     for f in payload:
-        # post-image for insert/update; deletes carry a null payload
+        # post-image for insert/update/upsert; deletes carry a null payload
         cols.append(
             F.when(F.col(CHANGE_TYPE) != "delete", F.col(f.name))
             .cast(f.dataType)

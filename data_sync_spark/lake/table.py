@@ -410,17 +410,20 @@ class LakeTable:
         to_version: int | None = None,
         include_internal: bool = False,
         strategy: str = "auto",
+        classify: bool = True,
     ) -> DataFrame:
         """Row-level net change feed in ``(from_version, to_version]`` —
         the Delta CDF / Iceberg incremental-scan analog. Incremental
         O(window) path over MOR delta files with bucket-pruned
-        classification; snapshot-diff fallback when a COW merge or rescale
+        classification (``classify=False``: raw upsert/delete feed, zero
+        table scan); snapshot-diff fallback when a COW merge or rescale
         sits in the window. See :mod:`data_sync_spark.lake.changes`."""
         from data_sync_spark.lake.changes import read_changes as _rc
 
         return _rc(
             self, from_version, to_version=to_version,
             include_internal=include_internal, strategy=strategy,
+            classify=classify,
         )
 
     # ----------------------------------------------------------------- write

@@ -249,6 +249,61 @@ def test_changes_empty_window_and_validation(spark, tmp_path):
         table.read_changes(v, strategy="bogus")
 
 
+def test_changes_incremental_plan_broadcasts_state(spark, tmp_path):
+    """The incremental classification must not shuffle the from-state: a
+    broadcast LEFT SEMI shrinks the pruned-bucket scan map-side, then the
+    survivor set broadcasts into the left join — no sort-merge join, no
+    exchange of table state anywhere in the plan."""
+    events = change_feed(spark, 3_000, n_keys=200, seed=41)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    v1 = _merge_batches(table, events, cfg, [(0, 1500), (1500, 3000)])[0]
+    plan = table.read_changes(v1, strategy="incremental")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_changes_raw_feed_replays_to_same_state(spark, tmp_path):
+    """classify=False: the raw O(window) net feed (upsert/delete, no table
+    scan, no join in the plan) applied onto a mirror of the from-state
+    reproduces the to-state exactly — stale losers ride along but lose
+    LWW again downstream."""
+    events = change_feed(spark, 4_000, n_keys=250, seed=47)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    v1 = _merge_batches(table=a, events=events, cfg=cfg,
+                        batches=[(0, 2000), (2000, 4000)])[0]
+    raw = a.read_changes(v1, strategy="incremental", classify=False,
+                         include_internal=True)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert set(raw.select("change_type").distinct().toPandas().change_type) <= {
+        "upsert", "delete"
+    }
+    # mirror: b gets the same first window, then ONLY the raw feed
+    b = LakeTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=8)
+    first = events.filter(F.col("log_offset") < 2000)
+    b.merge(net_changes(first, cfg, b.schema), app_id="m", batch_id=0, mor=True)
+    ev = raw.select(
+        F.when(F.col("change_type") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "doc_id",
+        F.col("_ver.off").alias("log_offset"),
+        F.col("_ver.seq").alias("seq"),
+        "tokens", "n_tok", "source",
+    )
+    b.merge(net_changes(ev, cfg, b.schema), app_id="m", batch_id=1, mor=True)
+    av = a.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(av.doc_id) == list(bv.doc_id)
+    assert list(av.n_tok) == list(bv.n_tok)
+    assert [list(x) if x is not None else None for x in av.tokens] == [
+        list(x) if x is not None else None for x in bv.tokens
+    ]
+
+
 def test_changes_expired_window_unavailable(spark, tmp_path):
     events = change_feed(spark, 1_200, n_keys=100, seed=3)
     cfg = PipelineConfig()
