@@ -1018,6 +1018,40 @@ def _q_tok_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(keep)
 
 
+def _q_tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency top-k under the oracle: documents tokenized
+    with the portable word hash (same tokenizer as tok_pack), then
+    textops.tokens.token_frequencies — explode pipelined into a
+    map-side-combined count, deterministic (freq DESC, token ASC) cut."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.dedup import _h
+    from data_sync_spark.textops.tokens import token_frequencies
+
+    _register(spark, sf_dir, names=("documents",))
+    toks = spark.table("documents").select(
+        F.expr(f"transform(split(text, ' '), w -> {_h('w')} % {PACK_VOCAB})").alias(
+            "tokens"
+        )
+    )
+    return token_frequencies(toks, top_k=200)
+
+
+def _q_tok_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram under the oracle (packing-efficiency
+    planner input): docs and token mass per 16-token length bucket —
+    textops.tokens.length_histogram, pure Catalyst, no explode."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.textops.tokens import length_histogram
+
+    _register(spark, sf_dir, names=("documents",))
+    d = spark.table("documents").select(
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tok")
+    )
+    return length_histogram(d, bucket_width=16)
+
+
 def _q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination under the oracle: deterministic 80/20
     hash split of documents, then per-eval-doc fraction of distinct word
@@ -1327,6 +1361,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow": _q_doc_winnow,
     "tok_pack": _q_tok_pack,
     "tok_shuffle": _q_tok_shuffle,
+    "tok_vocab": _q_tok_vocab,
+    "tok_len_hist": _q_tok_len_hist,
     "tok_contamination": _q_tok_contamination,
     "tok_contam_bloom": _q_tok_contam_bloom,
     "tok_bins": _q_tok_bins,
@@ -2221,6 +2257,30 @@ ORACLES.update(
                    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
             FROM (SELECT doc_id, ({_dh('CAST(doc_id AS VARCHAR)')}) AS h
                   FROM documents)
+        """,
+        "tok_vocab": f"""
+            WITH toks AS (
+              SELECT list_transform(string_split(text, ' '),
+                                    w -> ({_dh('w')}) % {PACK_VOCAB}) AS toks
+              FROM documents
+            )
+            SELECT u.token AS token, count(*) AS freq
+            FROM toks, UNNEST(toks.toks) AS u(token)
+            GROUP BY 1
+            ORDER BY freq DESC, token ASC
+            LIMIT 200
+        """,
+        "tok_len_hist": """
+            WITH d AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            )
+            SELECT n_tok // 16 AS len_bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   min(n_tok) AS min_len,
+                   max(n_tok) AS max_len
+            FROM d GROUP BY 1
         """,
         "tok_contamination": _duck_contamination_sql(shingle_n=3, eval_pct=20),
         "doc_dedup_groups": _duck_dedup_groups_sql(),

@@ -316,6 +316,59 @@ def shuffle_positions(
     return out
 
 
+def token_frequencies(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary frequencies: one row per distinct token id with
+    its total occurrence count — the stats feed for vocab pruning /
+    coverage checks before packing.
+
+    Scale shape: ``explode`` + ``groupBy(token)`` is the canonical
+    distributed word count — the explode is pipelined (never materialized
+    wholesale) and the aggregation partial-combines map-side, so the
+    shuffle carries one ``(token, count)`` pair per task per distinct
+    token, NOT one row per token occurrence. Token-id keys are uniform by
+    construction (hash-tokenized), so no salting is needed. ``top_k``
+    orders by ``(freq DESC, token ASC)`` — the tiebreak keeps the cut
+    deterministic and oracle-reproducible."""
+    freq = (
+        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if top_k is not None:
+        freq = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(top_k)
+    return freq
+
+
+def length_histogram(
+    df: DataFrame,
+    n_tok_col: str = "n_tok",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Sequence-length histogram: documents and token mass per
+    ``bucket_width``-token bucket — the packing-efficiency planner's input
+    (how much of the corpus is shorter than the training sequence length,
+    how heavy the oversize tail is). Pure Catalyst: one projection + one
+    map-side-combined aggregation on a small key domain; no explode, no
+    skew (bucket counts are bounded by max doc length / width)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    b = F.floor(F.col(n_tok_col) / bucket_width).cast("long")
+    return (
+        df.select(b.alias("len_bucket"), F.col(n_tok_col))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(n_tok_col)).cast("long").alias("n_tokens"),
+            F.min(F.col(n_tok_col)).alias("min_len"),
+            F.max(F.col(n_tok_col)).alias("max_len"),
+        )
+    )
+
+
 def split_expr(id_col: str, eval_pct: int = 20, buckets: int = 100):
     """Deterministic, engine-portable split assignment: a document is
     ``eval`` iff ``H(CAST(id AS STRING)) % buckets < eval_pct`` with the

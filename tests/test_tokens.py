@@ -529,3 +529,32 @@ def test_pack_respects_explicit_order_cols(spark):
     }
     # order: doc2 (pri 10), doc3 (20), doc1 (30) → stream 1,2,3,7,9,9
     assert out == {0: [1, 2, 3, 7], 1: [9, 9]}
+
+
+def test_token_frequencies_counts_and_topk_tiebreak(spark):
+    from data_sync_spark.textops.tokens import token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, [5, 5, 7]), (2, [7, 9]), (3, []), (4, None)],
+        "doc_id long, tokens array<int>",
+    )
+    got = {r["token"]: r["freq"] for r in token_frequencies(df).collect()}
+    assert got == {5: 2, 7: 2, 9: 1}  # empty/null arrays contribute nothing
+    # top_k tiebreak: equal freq → lower token id wins the cut
+    top = token_frequencies(df, top_k=1).collect()
+    assert (top[0]["token"], top[0]["freq"]) == (5, 2)
+
+
+def test_length_histogram_buckets(spark):
+    from data_sync_spark.textops.tokens import length_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (15,), (16,), (40,)], "n_tok long"
+    )
+    got = {
+        r["len_bucket"]: (r["n_docs"], r["n_tokens"], r["min_len"], r["max_len"])
+        for r in length_histogram(df, bucket_width=16).collect()
+    }
+    assert got == {0: (2, 15, 0, 15), 1: (1, 16, 16, 16), 2: (1, 40, 40, 40)}
+    with pytest.raises(ValueError, match="bucket_width"):
+        length_histogram(df, bucket_width=0)
