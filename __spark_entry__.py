@@ -702,17 +702,9 @@ def _q_cdc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_v = cur_v
             # A's net rows re-expressed as a change-event batch: upsert →
             # update (upsert-mode set), LWW order from the applied _ver
-            ev = feed.select(
-                F.when(F.col("change_type") == "delete", F.lit("delete"))
-                .otherwise(F.lit("update"))
-                .alias("op"),
-                "doc_id",
-                F.col("_ver.off").alias("log_offset"),
-                F.col("_ver.seq").alias("seq"),
-                "tokens",
-                "n_tok",
-                "source",
-            )
+            from data_sync_spark.lake import feed_to_events
+
+            ev = feed_to_events(feed)
             b_tbl.merge(
                 net_changes(ev, cfg, b_tbl.schema), app_id="down", batch_id=bi, mor=True
             )

@@ -87,6 +87,7 @@ def cmd_replay(args) -> int:
         app_id=args.app_id,
         max_files_per_trigger=args.files_per_trigger,
         feed=feed,
+        publish_dir=getattr(args, "publish_dir", None),
     )
     q.awaitTermination()
     recs = MetricsSink(table.path).records()
@@ -291,6 +292,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--app-id", default="stream")
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--files-per-trigger", type=int, default=1)
+    r.add_argument(
+        "--publish-dir",
+        default=None,
+        help="also emit the table's outbound raw change feed per committed "
+        "version window (CDC relay; exactly-once via the table's app-state "
+        "ledger)",
+    )
     r.add_argument(
         "--wire",
         choices=("events", "maxwell"),

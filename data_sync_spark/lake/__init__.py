@@ -1,2 +1,7 @@
 from data_sync_spark.lake.table import CommitConflict, LakeTable, MergeResult  # noqa: F401
-from data_sync_spark.lake.changes import ChangeFeedUnavailable, read_changes  # noqa: F401
+from data_sync_spark.lake.changes import (  # noqa: F401
+    ChangeFeedPublisher,
+    ChangeFeedUnavailable,
+    feed_to_events,
+    read_changes,
+)

@@ -93,11 +93,14 @@ class ChangeFeedUnavailable(RuntimeError):
 
 def _window_commits(table, from_version: int, to_manifest: dict):
     """Walk child→parent from ``to`` down to ``from``; return
-    ``(net_files, incremental)`` where ``net_files`` maps bucket → list of
-    relative paths added by merge-mor/append commits in the window, and
-    ``incremental`` is False when any commit in the window (COW merge,
-    rescale, unknown op) requires the snapshot-diff fallback."""
+    ``(net_files, incremental, summaries)`` where ``net_files`` maps bucket
+    → list of relative paths added by merge-mor/append commits in the
+    window, ``incremental`` is False when any commit in the window (COW
+    merge, rescale, unknown op) requires the snapshot-diff fallback, and
+    ``summaries`` is the newest-first list of the window commits'
+    ``summary`` dicts."""
     net_files: dict[int, list[str]] = {}
+    summaries: list[dict] = []
     incremental = True
     child = to_manifest
     while child["version"] > from_version:
@@ -115,6 +118,7 @@ def _window_commits(table, from_version: int, to_manifest: dict):
                 f"manifest v{parent_v} expired — window (v{from_version}, "
                 f"v{to_manifest['version']}] is past the retention horizon"
             ) from e
+        summaries.append(child.get("summary") or {})
         op = (child.get("summary") or {}).get("operation")
         if op in _NET_FILE_KIND:
             kind = _NET_FILE_KIND[op]
@@ -127,7 +131,7 @@ def _window_commits(table, from_version: int, to_manifest: dict):
         elif op not in _STATE_INVARIANT:
             incremental = False  # COW merge / rescale / unknown
         child = parent
-    return net_files, incremental
+    return net_files, incremental, summaries
 
 
 def _classify(win_col, cand_live, old_live):
@@ -192,7 +196,7 @@ def read_changes(
     if from_version == to_version:
         return table.spark.createDataFrame([], out_schema)
 
-    net_files, incremental = _window_commits(table, from_version, to_manifest)
+    net_files, incremental, _ = _window_commits(table, from_version, to_manifest)
     from_manifest = table._read_manifest(from_version)
     if int(from_manifest["n_buckets"]) != int(to_manifest["n_buckets"]):
         incremental = False  # bucket ids renumbered across the window
@@ -281,6 +285,103 @@ def read_changes(
         )
     out = src.withColumn(CHANGE_TYPE, ct).filter(F.col(CHANGE_TYPE).isNotNull())
     return _project(out, keys, payload, include_internal)
+
+
+def feed_to_events(feed: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Re-express a change feed (``include_internal=True``) as a change-event
+    batch in the engine's wire schema: ``op`` (update/delete — upsert-mode
+    set semantics re-apply inserts and updates identically), ``log_offset``
+    and ``seq`` from the winner's applied ``_ver`` (so LWW ordering is
+    preserved end-to-end and stale rows in a raw feed re-lose downstream),
+    plus the post-image payload. This is the glue that lets one table's
+    outbound feed be the next engine's inbound binlog."""
+    other = [
+        c for c in feed.columns if c not in (CHANGE_TYPE, _VER)
+    ]
+    return feed.select(
+        F.when(F.col(CHANGE_TYPE) == "delete", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col(f"{_VER}.off").alias("log_offset"),
+        F.col(f"{_VER}.seq").alias("seq"),
+        *[F.col(c) for c in other],
+    )
+
+
+class ChangeFeedPublisher:
+    """Continuous outbound CDC: publish each newly committed version window
+    of a table as a parquet chunk of its (raw, O(window)) change feed —
+    the reference's Kafka-producer role for *data* (its producer only
+    carries metrics), made exactly-once.
+
+    Delivery protocol: the publisher's progress ledger is the table's own
+    per-app state (``published_version``), committed through the same
+    atomic manifest protocol as the data. ``publish_pending()`` reads the
+    window ``(published_version, current]``, writes it to a chunk named by
+    the version range, then advances the ledger. A crash between the chunk
+    write and the ledger commit re-publishes the SAME deterministic chunk
+    (overwrite) — downstream sees at-least-once chunks of an idempotent
+    feed (every row carries its applied ``_ver``; re-applying loses LWW),
+    so end-to-end state transfer is exactly-once. Windows whose commits
+    carry no net rows (app-state, compaction, …) advance the ledger
+    without writing a chunk. The chunk directory is itself a valid
+    streaming source: ``feed_to_events`` + ``file_change_feed`` replays it
+    into another table (see ``cdc_chain`` / test_changes).
+    """
+
+    def __init__(
+        self,
+        table,
+        out_dir: str,
+        app_id: str = "publisher",
+        classify: bool = False,
+        start_version: int | None = None,
+    ):
+        self.table = table
+        self.out_dir = out_dir
+        self.app_id = app_id
+        self.classify = classify
+        os.makedirs(out_dir, exist_ok=True)
+        if start_version is not None and "published_version" not in table.app_state(
+            app_id
+        ):
+            table.set_app_state(app_id, published_version=int(start_version))
+
+    def publish_pending(self) -> dict | None:
+        """Publish the window from the last published version to the current
+        snapshot; returns the emission record or None when already
+        caught up."""
+        state = self.table.app_state(self.app_id)
+        frm = int(state.get("published_version", 0))
+        to_manifest = self.table.current()
+        to = int(to_manifest["version"])
+        if to <= frm:
+            return None
+        net_files, incremental, summaries = _window_commits(
+            self.table, frm, to_manifest
+        )
+        if not net_files and incremental and all(
+            s.get("operation") == "app-state" and s.get("app") == self.app_id
+            for s in summaries
+        ):
+            # the window is only our own ledger commits — advancing the
+            # ledger would mint yet another one (an idle publisher must not
+            # grow the table's history); nothing to publish, nothing to do
+            return None
+        rec = {"from_version": frm, "to_version": to, "rows": 0, "path": None}
+        if net_files or not incremental:
+            feed = read_changes(
+                self.table, frm, to, include_internal=True,
+                classify=self.classify,
+            )
+            chunk = os.path.join(self.out_dir, f"changes_{frm:08d}_{to:08d}")
+            feed.write.mode("overwrite").parquet(chunk)
+            rec["path"] = chunk
+            rec["rows"] = self.table.spark.read.parquet(chunk).count()
+        # ledger advance is the LAST step: a crash anywhere above replays
+        # the identical window into the identical chunk name
+        self.table.set_app_state(self.app_id, published_version=to)
+        return rec
 
 
 def _project(out: DataFrame, keys, payload, include_internal: bool) -> DataFrame:

@@ -145,6 +145,7 @@ def run_stream(
     event_schema: T.StructType = EVENT_SCHEMA,
     fail_after_batches: int | None = None,
     feed: DataFrame | None = None,
+    publish_dir: str | None = None,
 ):
     """Run the streaming ingest. ``available_now=True`` drains the feed and
     stops (bounded replay, the bench/test mode); False tails forever.
@@ -156,12 +157,25 @@ def run_stream(
     ``feed``: a pre-built streaming DataFrame in the engine event schema
     (e.g. ``wire.kafka_change_feed`` / ``wire.kafka_recorded_feed``);
     defaults to the parquet file feed over ``feed_path``.
+
+    ``publish_dir``: when set, each micro-batch also emits the table's raw
+    outbound change feed for every newly committed version window into
+    this directory (``lake.changes.ChangeFeedPublisher`` — exactly-once
+    via the table's own app-state ledger, crash-replay safe), turning the
+    job into a CDC relay: binlog in → table → change stream out.
     """
     sink = MetricsSink(table.path)
     seen = {"n": 0}
+    publisher = None
+    if publish_dir is not None:
+        from data_sync_spark.lake.changes import ChangeFeedPublisher
+
+        publisher = ChangeFeedPublisher(table, publish_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(table, batch_df, batch_id, cfg, app_id=app_id, sink=sink)
+        if publisher is not None:
+            publisher.publish_pending()
         seen["n"] += 1
         if fail_after_batches is not None and seen["n"] >= fail_after_batches:
             raise RuntimeError(f"injected crash after {seen['n']} batches")

@@ -304,6 +304,94 @@ def test_changes_raw_feed_replays_to_same_state(spark, tmp_path):
     ]
 
 
+def test_publisher_exactly_once_across_crash_window(spark, tmp_path):
+    """ChangeFeedPublisher: a crash between a merge commit and its publish
+    loses nothing (the next publish covers the whole unpublished version
+    window), an idle publisher mints no new table versions, and replaying
+    every published chunk into a second table reproduces the state."""
+    import os
+
+    from data_sync_spark.lake import ChangeFeedPublisher, feed_to_events
+
+    events = change_feed(spark, 3_000, n_keys=200, seed=59)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    pub_dir = str(tmp_path / "out")
+    pub = ChangeFeedPublisher(a, pub_dir)
+
+    def merge_window(table, lo, hi, bid):
+        batch = events.filter((F.col("log_offset") >= lo) & (F.col("log_offset") < hi))
+        table.merge(net_changes(batch, cfg, table.schema), app_id="s",
+                    batch_id=bid, mor=True)
+
+    merge_window(a, 0, 1000, 0)
+    rec1 = pub.publish_pending()
+    assert rec1["rows"] > 0 and rec1["path"]
+    merge_window(a, 1000, 2000, 1)
+    # crash here: publisher never ran for batch 1; restart re-opens both
+    a2 = LakeTable.load(spark, str(tmp_path / "a"))
+    pub2 = ChangeFeedPublisher(a2, pub_dir)
+    merge_window(a2, 2000, 3000, 2)
+    rec2 = pub2.publish_pending()
+    assert rec2["rows"] > 0  # covers batches 1 AND 2 in one window
+    assert rec2["from_version"] == rec1["to_version"]
+    # idle: no chunk, no ledger mint, table history length stable
+    v_before = a2.current()["version"]
+    assert pub2.publish_pending() is None
+    assert pub2.publish_pending() is None
+    assert a2.current()["version"] == v_before
+    # consume every chunk in version order into table B
+    b = LakeTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=8)
+    chunks = sorted(
+        d for d in os.listdir(pub_dir) if d.startswith("changes_")
+    )
+    assert len(chunks) == 2
+    for i, c in enumerate(chunks):
+        feed = spark.read.parquet(os.path.join(pub_dir, c))
+        b.merge(net_changes(feed_to_events(feed), cfg, b.schema),
+                app_id="c", batch_id=i, mor=True)
+    av = a2.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(av.doc_id) == list(bv.doc_id)
+    assert list(av.n_tok) == list(bv.n_tok)
+
+
+def test_stream_with_publisher_relays_state(spark, tmp_path):
+    """run_stream(publish_dir=...): the streaming job is a CDC relay —
+    the outbound chunk directory replayed into a second table equals the
+    source-of-truth state (and the straight oracle replay)."""
+    import os
+
+    from data_sync_spark.generator import write_feed_chunks
+    from data_sync_spark.lake import feed_to_events
+    from data_sync_spark.oracle import replay_to_pandas
+    from data_sync_spark.streaming.runner import run_stream
+
+    feed_dir = str(tmp_path / "feed")
+    write_feed_chunks(spark, feed_dir, 3_000, chunk_size=750, n_keys=200, seed=61)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=8)
+    pub_dir = str(tmp_path / "out")
+    q = run_stream(spark, feed_dir, a, cfg, str(tmp_path / "ckpt"),
+                   publish_dir=pub_dir)
+    q.awaitTermination(300)
+    chunks = sorted(d for d in os.listdir(pub_dir) if d.startswith("changes_"))
+    assert len(chunks) >= 2  # one window per committed micro-batch
+    b = LakeTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=4)
+    for i, c in enumerate(chunks):
+        feed = spark.read.parquet(os.path.join(pub_dir, c))
+        b.merge(net_changes(feed_to_events(feed), cfg, b.schema),
+                app_id="c", batch_id=i, mor=True)
+    events = change_feed(spark, 3_000, n_keys=200, seed=61)
+    exp = replay_to_pandas(events.toPandas(), cfg,
+                           target_cols=["doc_id", "tokens", "n_tok", "source"])
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(bv.doc_id) == list(exp.doc_id)
+    assert [list(x) if x is not None else None for x in bv.tokens] == [
+        list(x) if x is not None else None for x in exp.tokens
+    ]
+
+
 def test_changes_expired_window_unavailable(spark, tmp_path):
     events = change_feed(spark, 1_200, n_keys=100, seed=3)
     cfg = PipelineConfig()
