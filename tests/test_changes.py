@@ -403,3 +403,95 @@ def test_changes_expired_window_unavailable(spark, tmp_path):
     table.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
     with pytest.raises(ChangeFeedUnavailable):
         table.read_changes(v_old).count()
+
+
+def test_changes_property_random_schedules(spark, tmp_path_factory):
+    """Property layer: random event streams × random batch splits × random
+    window boundaries × randomly interleaved compactions — the classified
+    feed (incremental AND diff strategies) must equal the dict-replay
+    winner diff, and the raw feed replayed onto the prefix state must
+    reproduce the final state."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_sync_spark.lake import feed_to_events
+    from data_sync_spark.schema import EVENT_SCHEMA
+
+    keys = [f"k{i}" for i in range(6)]
+    event_st = st.fixed_dictionaries(
+        {
+            "op": st.sampled_from(["insert", "update", "delete"]),
+            "key": st.sampled_from(keys),
+            "seq": st.integers(0, 2),
+            "n": st.integers(1, 9),
+        }
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        raw=st.lists(event_st, min_size=2, max_size=24),
+        n_batches=st.integers(2, 4),
+        win_after=st.integers(1, 3),
+        compact_at=st.sampled_from([None, 0, 1]),
+    )
+    def run(raw, n_batches, win_after, compact_at):
+        win_after = min(win_after, n_batches - 1)
+        pdf = pd.DataFrame(
+            [
+                {
+                    "op": e["op"],
+                    "doc_id": e["key"],
+                    "log_offset": off,
+                    "seq": e["seq"],
+                    "tokens": None if e["op"] == "delete" else [e["n"]],
+                    "n_tok": None if e["op"] == "delete" else 1,
+                    "source": "web",
+                }
+                for off, e in enumerate(raw)
+            ]
+        )
+        events = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+        cfg = PipelineConfig()
+        tmp = tmp_path_factory.mktemp("cfprop")
+        table = LakeTable.create(spark, str(tmp / "t"), TARGET_SCHEMA, n_buckets=2)
+        per = (len(pdf) + n_batches - 1) // n_batches
+        v1 = None
+        for b in range(n_batches):
+            batch = events.filter(
+                (events.log_offset >= b * per) & (events.log_offset < (b + 1) * per)
+            )
+            table.merge(net_changes(batch, cfg, table.schema), app_id="p",
+                        batch_id=b, mor=True)
+            if compact_at == b:
+                table.compact()
+            if b == win_after - 1:
+                v1 = table.current()["version"]
+        split = win_after * per
+        exp = expected_feed(pdf, split, cfg)
+        for strat in ("incremental", "diff"):
+            feed = _feed_pdf(read_changes(table, v1, strategy=strat))
+            assert_feed_equal(feed, exp, msg=f"[prop/{strat}]")
+        # raw feed replay: mirror the prefix, apply the raw window feed
+        mirror = LakeTable.create(
+            spark, str(tmp / "m"), TARGET_SCHEMA, n_buckets=4
+        )
+        prefix = events.filter(events.log_offset < split)
+        mirror.merge(net_changes(prefix, cfg, mirror.schema), app_id="m",
+                     batch_id=0, mor=True)
+        raw_feed = table.read_changes(v1, strategy="incremental",
+                                      classify=False, include_internal=True)
+        mirror.merge(net_changes(feed_to_events(raw_feed), cfg, mirror.schema),
+                     app_id="m", batch_id=1, mor=True)
+        av = table.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        mv = mirror.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(av.doc_id) == list(mv.doc_id)
+        assert list(av.n_tok) == list(mv.n_tok)
+
+    run()
