@@ -105,6 +105,56 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_relay(args) -> int:
+    """Downstream half of the CDC relay: tail a publisher's outbound chunk
+    directory (``replay --publish-dir``) as a streaming source and MERGE it
+    into a second table. Chunks carry the raw change feed with the applied
+    ``_ver``, so ordering between chunks is irrelevant (LWW) and replays
+    are idempotent; the streaming checkpoint + batch ledger give
+    exactly-once on the downstream table too."""
+    import os
+
+    from data_sync_spark.lake import LakeTable, feed_to_events
+    from data_sync_spark.lake.changes import feed_schema
+    from data_sync_spark.metrics import MetricsSink
+    from data_sync_spark.streaming.runner import run_stream
+
+    spark = _spark(args)
+    cfg = _load_cfg(args)
+    if LakeTable.exists(args.table):
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    chunks = (
+        spark.readStream.schema(feed_schema(TARGET_SCHEMA, include_internal=True))
+        .option("maxFilesPerTrigger", args.files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(args.feed, "changes_*"))
+    )
+    q = run_stream(
+        spark,
+        None,
+        table,
+        cfg,
+        checkpoint_dir=args.checkpoint,
+        app_id=args.app_id,
+        feed=feed_to_events(chunks),
+    )
+    q.awaitTermination()
+    recs = MetricsSink(table.path).records()
+    print(
+        json.dumps(
+            {
+                "batches": len(recs),
+                "events_in": sum(r.get("events_in", 0) for r in recs),
+                "table_version": table.current()["version"],
+                "rows": table.read().count(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_backfill(args) -> int:
     from data_sync_spark.backfill import backfill, get_watermark
     from data_sync_spark.lake import LakeTable
@@ -307,6 +357,20 @@ def main(argv: list[str] | None = None) -> int:
         "(binary key/value + topic/partition/offset) decoded as Maxwell JSON",
     )
     r.set_defaults(fn=cmd_replay)
+
+    rl = sub.add_parser(
+        "relay",
+        help="tail a publisher's outbound chunk dir into a second table "
+        "(downstream half of the CDC relay)",
+    )
+    rl.add_argument("--feed", required=True, help="publisher --publish-dir path")
+    rl.add_argument("--table", required=True)
+    rl.add_argument("--checkpoint", required=True)
+    rl.add_argument("--config", default=None)
+    rl.add_argument("--app-id", default="relay")
+    rl.add_argument("--buckets", type=int, default=64)
+    rl.add_argument("--files-per-trigger", type=int, default=1)
+    rl.set_defaults(fn=cmd_relay)
 
     b = sub.add_parser("backfill", help="chunked catch-up (sync_direct analog)")
     b.add_argument("--feed", required=True)

@@ -185,14 +185,7 @@ def read_changes(
     schema = T.StructType.fromJson(to_manifest["schema"])
     keys = as_key_cols(to_manifest.get("key_col", KEY_COL))
     payload = [f for f in schema.fields if f.name not in keys]
-    out_fields = (
-        [f for f in schema.fields if f.name in keys]
-        + [T.StructField(CHANGE_TYPE, T.StringType(), False)]
-        + list(payload)
-    )
-    if include_internal:
-        out_fields.append(T.StructField(_VER, _VER_TYPE, True))
-    out_schema = T.StructType(out_fields)
+    out_schema = feed_schema(schema, keys, include_internal=include_internal)
     if from_version == to_version:
         return table.spark.createDataFrame([], out_schema)
 
@@ -285,6 +278,26 @@ def read_changes(
         )
     out = src.withColumn(CHANGE_TYPE, ct).filter(F.col(CHANGE_TYPE).isNotNull())
     return _project(out, keys, payload, include_internal)
+
+
+def feed_schema(
+    schema: T.StructType,
+    key_col=KEY_COL,
+    include_internal: bool = False,
+) -> T.StructType:
+    """The change-feed output schema for a table schema: key columns,
+    ``change_type``, payload columns, and (``include_internal``) ``_ver``.
+    Used by ``read_changes`` itself and by streaming consumers that need an
+    explicit schema for a file source over published chunks."""
+    keys = as_key_cols(key_col)
+    fields = (
+        [f for f in schema.fields if f.name in keys]
+        + [T.StructField(CHANGE_TYPE, T.StringType(), False)]
+        + [f for f in schema.fields if f.name not in keys]
+    )
+    if include_internal:
+        fields.append(T.StructField(_VER, _VER_TYPE, True))
+    return T.StructType(fields)
 
 
 def feed_to_events(feed: DataFrame, keys: list[str] | None = None) -> DataFrame:

@@ -495,3 +495,28 @@ def test_changes_property_random_schedules(spark, tmp_path_factory):
         assert list(av.n_tok) == list(mv.n_tok)
 
     run()
+
+
+def test_cli_relay_roundtrip(spark, tmp_path, capsys):
+    """CLI-level relay: `replay --publish-dir` then `relay` into a second
+    table; `verify` of the relayed table against the ORIGINAL feed passes —
+    the full two-engine chain at the command surface."""
+    import json
+
+    from data_sync_spark.cli import main
+    from data_sync_spark.generator import write_feed_chunks
+
+    feed = str(tmp_path / "feed")
+    write_feed_chunks(spark, feed, 2_000, chunk_size=500, n_keys=150, seed=67)
+    assert main([
+        "replay", "--feed", feed, "--table", str(tmp_path / "a"),
+        "--checkpoint", str(tmp_path / "c"), "--buckets", "8",
+        "--publish-dir", str(tmp_path / "out"),
+    ]) == 0
+    assert main([
+        "relay", "--feed", str(tmp_path / "out"), "--table", str(tmp_path / "b"),
+        "--checkpoint", str(tmp_path / "c2"), "--buckets", "4",
+    ]) == 0
+    rc = main(["verify", "--feed", feed, "--table", str(tmp_path / "b")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"], out
