@@ -125,8 +125,18 @@ def cmd_relay(args) -> int:
         table = LakeTable.load(spark, args.table)
     else:
         table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
+    src_schema = TARGET_SCHEMA
+    key_col = "doc_id"
+    if getattr(args, "schema_from", None):
+        # read the upstream table's CURRENT (possibly evolved) schema so
+        # columns added mid-stream are not silently dropped by a stale
+        # static schema
+        upstream = LakeTable.load(spark, args.schema_from)
+        src_schema, key_col = upstream.schema, upstream.key_col
     chunks = (
-        spark.readStream.schema(feed_schema(TARGET_SCHEMA, include_internal=True))
+        spark.readStream.schema(
+            feed_schema(src_schema, key_col=key_col, include_internal=True)
+        )
         .option("maxFilesPerTrigger", args.files_per_trigger)
         .option("latestFirst", "false")
         .parquet(os.path.join(args.feed, "changes_*"))
@@ -370,6 +380,12 @@ def main(argv: list[str] | None = None) -> int:
     rl.add_argument("--app-id", default="relay")
     rl.add_argument("--buckets", type=int, default=64)
     rl.add_argument("--files-per-trigger", type=int, default=1)
+    rl.add_argument(
+        "--schema-from",
+        default=None,
+        help="upstream table path; read its current (evolved) schema for "
+        "the chunk source instead of the static default",
+    )
     rl.set_defaults(fn=cmd_relay)
 
     b = sub.add_parser("backfill", help="chunked catch-up (sync_direct analog)")

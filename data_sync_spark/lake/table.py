@@ -316,6 +316,23 @@ class LakeTable:
         child = self._commit_with_rebase(build, self.current())
         return child["version"]
 
+    def version_at_batch(self, app_id: str, batch_id: int) -> int | None:
+        """Oldest retained version whose ``app_id`` ledger already includes
+        ``batch_id`` — i.e. the snapshot right after that batch committed
+        (or the oldest retained superset once older history has expired).
+        Lets a change-feed consumer anchor ``read_changes`` windows to
+        source batch ids instead of raw versions. None when no retained
+        snapshot covers the batch."""
+        found = None
+        for h in self.history():  # newest-first; ledger is monotonic
+            app = (h.get("apps") or {}).get(app_id) or {}
+            last = app.get("last_batch_id")
+            if last is not None and int(last) >= batch_id:
+                found = h["version"]
+            else:
+                break
+        return found
+
     def history(self) -> list[dict]:
         """Newest-first snapshot history. Stops at the oldest RETAINED
         manifest — expire_snapshots truncates history, it must not break

@@ -520,3 +520,20 @@ def test_cli_relay_roundtrip(spark, tmp_path, capsys):
     rc = main(["verify", "--feed", feed, "--table", str(tmp_path / "b")])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"], out
+
+
+def test_version_at_batch_anchors_windows(spark, tmp_path):
+    """version_at_batch maps a source batch id to the snapshot right after
+    its merge, so consumers can open change windows by batch id."""
+    events = change_feed(spark, 3_000, n_keys=200, seed=71)
+    events_pdf = events.toPandas()
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    _merge_batches(table, events, cfg, [(0, 1000), (1000, 2000), (2000, 3000)],
+                   app="s")
+    v1 = table.version_at_batch("s", 1)
+    assert v1 is not None
+    feed = _feed_pdf(table.read_changes(v1, strategy="incremental"))
+    assert_feed_equal(feed, expected_feed(events_pdf, 2000, cfg), msg="[anchor]")
+    assert table.version_at_batch("s", 99) is None  # batch never applied
+    assert table.version_at_batch("nope", 0) is None  # unknown app
