@@ -585,7 +585,8 @@ def _q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             table.merge(
                 net_changes(batch(b), cfg, table.schema), app_id="cf", batch_id=b, mor=True
             )
-        out = table.read_changes(v1, strategy="incremental").select(
+        feed = table.read_changes(v1, strategy="incremental")
+        out = feed.select(
             "doc_id",
             "change_type",
             "source",
@@ -594,6 +595,9 @@ def _q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         keep = _result_dir("changes")
         out.write.mode("overwrite").parquet(keep)
+        cache = getattr(feed, "_dss_changes_cache", None)
+        if cache is not None:
+            cache.unpersist()
         return spark.read.parquet(keep)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

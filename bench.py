@@ -529,7 +529,11 @@ def run_changefeed_bench(spark) -> dict:
         out: dict = {
             "base_events": n_base, "keys": n_keys, "window_events": n_win,
         }
-        table.read_changes(v_base, strategy="incremental").count()  # warmup
+        warm = table.read_changes(v_base, strategy="incremental")
+        warm.count()  # untimed warmup
+        wcache = getattr(warm, "_dss_changes_cache", None)
+        if wcache is not None:
+            wcache.unpersist()
         variants = (
             ("raw_sec", "incremental", False),
             ("incremental_sec", "incremental", True),
@@ -539,10 +543,12 @@ def run_changefeed_bench(spark) -> dict:
             times = []
             for _ in range(3):
                 t0 = time.monotonic()
-                rows = table.read_changes(
-                    v_base, strategy=strat, classify=cls
-                ).count()
+                fd = table.read_changes(v_base, strategy=strat, classify=cls)
+                rows = fd.count()
                 times.append(time.monotonic() - t0)
+                cache = getattr(fd, "_dss_changes_cache", None)
+                if cache is not None:
+                    cache.unpersist()
             out[tag] = round(sorted(times)[1], 3)
             out[tag.replace("_sec", "_rows")] = rows
         out["classify_speedup"] = round(out["diff_sec"] / out["incremental_sec"], 2)

@@ -235,6 +235,10 @@ def read_changes(
         # classification join. Result: a narrow window classifies with ZERO
         # shuffle of table state. Wide windows (backfill-sized) keep the
         # plain shuffle join, which AQE can still skew-split.
+        # persist: the count below and the join would otherwise each run the
+        # window-file resolve; handle rides the result for callers to
+        # unpersist (same convention as tokens.exclusive_prefix_sum)
+        cand = cand.persist()
         n_cand = cand.count()
         if n_cand <= BROADCAST_MAX_ROWS:
             old = F.broadcast(
@@ -277,7 +281,10 @@ def read_changes(
             win & ~new_live, F.lit("delete")
         )
     out = src.withColumn(CHANGE_TYPE, ct).filter(F.col(CHANGE_TYPE).isNotNull())
-    return _project(out, keys, payload, include_internal)
+    projected = _project(out, keys, payload, include_internal)
+    if incremental:
+        projected._dss_changes_cache = cand  # type: ignore[attr-defined]
+    return projected
 
 
 def feed_schema(
