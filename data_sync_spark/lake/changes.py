@@ -377,9 +377,20 @@ class ChangeFeedPublisher:
         to = int(to_manifest["version"])
         if to <= frm:
             return None
-        net_files, incremental, summaries = _window_commits(
-            self.table, frm, to_manifest
-        )
+        try:
+            net_files, incremental, summaries = _window_commits(
+                self.table, frm, to_manifest
+            )
+        except ChangeFeedUnavailable:
+            # snapshot expiry outran the publisher's ledger (e.g. the
+            # publisher was down past the retention horizon): the window
+            # can no longer be diffed, so publish a full-snapshot REBASE
+            # chunk instead — every live row as an upsert plus every
+            # retained tombstone as a delete, all carrying their applied
+            # _ver. A consumer applying it with LWW converges to the
+            # source state regardless of what it had (the standard CDC
+            # snapshot-then-tail bootstrap, reversed).
+            return self._publish_snapshot(to)
         if not net_files and incremental and all(
             s.get("operation") == "app-state" and s.get("app") == self.app_id
             for s in summaries
@@ -400,6 +411,29 @@ class ChangeFeedPublisher:
             rec["rows"] = self.table.spark.read.parquet(chunk).count()
         # ledger advance is the LAST step: a crash anywhere above replays
         # the identical window into the identical chunk name
+        self.table.set_app_state(self.app_id, published_version=to)
+        return rec
+
+    def _publish_snapshot(self, to: int) -> dict:
+        schema = T.StructType.fromJson(self.table._read_manifest(to)["schema"])
+        keys = as_key_cols(self.table.key_col)
+        payload = [f for f in schema.fields if f.name not in keys]
+        snap = self.table.read(
+            version=to, include_internal=True, include_tombstones=True
+        ).withColumn(
+            CHANGE_TYPE,
+            F.when(F.col(_OP) == "drop", F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+        out = _project(snap, keys, payload, include_internal=True)
+        chunk = os.path.join(self.out_dir, f"changes_snapshot_{to:08d}")
+        out.write.mode("overwrite").parquet(chunk)
+        rec = {
+            "from_version": None,
+            "to_version": to,
+            "snapshot": True,
+            "path": chunk,
+            "rows": self.table.spark.read.parquet(chunk).count(),
+        }
         self.table.set_app_state(self.app_id, published_version=to)
         return rec
 

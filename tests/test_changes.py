@@ -537,3 +537,52 @@ def test_version_at_batch_anchors_windows(spark, tmp_path):
     assert_feed_equal(feed, expected_feed(events_pdf, 2000, cfg), msg="[anchor]")
     assert table.version_at_batch("s", 99) is None  # batch never applied
     assert table.version_at_batch("nope", 0) is None  # unknown app
+
+
+def test_publisher_snapshot_rebase_after_expiry(spark, tmp_path):
+    """When snapshot expiry outruns the publisher's ledger, the next
+    publish emits a full-snapshot rebase chunk (live rows as upserts +
+    retained tombstones as deletes); a consumer applying it converges to
+    the source state, including dropping keys the source deleted."""
+    import os
+
+    from data_sync_spark.lake import ChangeFeedPublisher, feed_to_events
+
+    events = change_feed(spark, 2_000, n_keys=150, seed=79)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    _merge_batches(table=a, events=events, cfg=cfg,
+                   batches=[(0, 1000), (1000, 2000)])
+    a.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    pub = ChangeFeedPublisher(a, str(tmp_path / "out"))  # ledger at 0 (expired)
+    rec = pub.publish_pending()
+    assert rec["snapshot"] is True and rec["rows"] > 0
+    chunks = os.listdir(str(tmp_path / "out"))
+    assert any(c.startswith("changes_snapshot_") for c in chunks)
+    # caught up afterwards
+    assert pub.publish_pending() is None
+    # consumer B starts with a stale key the source deleted — the snapshot's
+    # tombstone delete must remove it
+    deleted = [
+        r["doc_id"]
+        for r in spark.read.parquet(rec["path"])
+        .filter(F.col("change_type") == "delete")
+        .select("doc_id").limit(1).collect()
+    ]
+    b = LakeTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=2)
+    if deleted:
+        seed = spark.createDataFrame(
+            pd.DataFrame([{
+                "op": "insert", "doc_id": deleted[0], "log_offset": 0, "seq": 0,
+                "tokens": [1], "n_tok": 1, "source": "web",
+            }]),
+            schema=EVENT_SCHEMA,
+        )
+        b.merge(net_changes(seed, cfg, b.schema), app_id="c", batch_id=0, mor=True)
+    feed = spark.read.parquet(rec["path"])
+    b.merge(net_changes(feed_to_events(feed), cfg, b.schema), app_id="c",
+            batch_id=1, mor=True)
+    av = a.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(av.doc_id) == list(bv.doc_id)
+    assert list(av.n_tok) == list(bv.n_tok)
