@@ -307,7 +307,7 @@ def feed_schema(
     return T.StructType(fields)
 
 
-def feed_to_events(feed: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def feed_to_events(feed: DataFrame) -> DataFrame:
     """Re-express a change feed (``include_internal=True``) as a change-event
     batch in the engine's wire schema: ``op`` (update/delete — upsert-mode
     set semantics re-apply inserts and updates identically), ``log_offset``
@@ -339,10 +339,12 @@ class ChangeFeedPublisher:
     atomic manifest protocol as the data. ``publish_pending()`` reads the
     window ``(published_version, current]``, writes it to a chunk named by
     the version range, then advances the ledger. A crash between the chunk
-    write and the ledger commit re-publishes the SAME deterministic chunk
-    (overwrite) — downstream sees at-least-once chunks of an idempotent
-    feed (every row carries its applied ``_ver``; re-applying loses LWW),
-    so end-to-end state transfer is exactly-once. Windows whose commits
+    write and the ledger commit replays the window on restart: the same
+    chunk name is overwritten when no commit landed in between, or a wider
+    chunk covering the old one is written when commits did land — either
+    way downstream sees at-least-once chunks of an idempotent feed (every
+    row carries its applied ``_ver``; re-applying loses LWW), so
+    end-to-end state transfer is exactly-once. Windows whose commits
     carry no net rows (app-state, compaction, …) advance the ledger
     without writing a chunk. The chunk directory is itself a valid
     streaming source: ``feed_to_events`` + ``file_change_feed`` replays it
