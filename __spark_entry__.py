@@ -1048,6 +1048,67 @@ def _q_tok_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(d, bucket_width=16)
 
 
+def _q_tok_freq_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of token frequencies under the oracle:
+    bootstrap the (token, freq) aggregate from the v1 snapshot, then apply
+    ONLY the change feed's IVM delta (pre-image retractions + post-image
+    additions, ``read_changes(..., include_preimage=True)`` →
+    ``token_freq_delta``/``apply_freq_delta``) for the second half of the
+    replay. The maintained aggregate must equal DuckDB's full recount over
+    the final LWW state — O(changed tokens) per window instead of
+    O(corpus) per batch."""
+    from pyspark.sql import functions as F
+
+    from data_sync_spark.config import PipelineConfig
+    from data_sync_spark.lake import LakeTable
+    from data_sync_spark.pipeline import net_changes
+    from data_sync_spark.schema import TARGET_SCHEMA
+    from data_sync_spark.textops.tokens import (
+        apply_freq_delta,
+        token_freq_delta,
+        token_frequencies,
+    )
+
+    changes = _changes(spark, sf_dir).withColumn(
+        "tokens",
+        F.expr(
+            "transform(sequence(1, n_tok), x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))"
+        ),
+    )
+    cfg = PipelineConfig()
+    tmp = tempfile.mkdtemp(prefix="dss-ivm-")
+    try:
+        table = LakeTable.create(spark, os.path.join(tmp, "t"), TARGET_SCHEMA, n_buckets=8)
+        max_off = changes.agg(F.max("log_offset")).collect()[0][0] or 0
+        step = max_off // 4 + 1
+
+        def batch(b: int) -> DataFrame:
+            return changes.filter(
+                (F.col("log_offset") >= b * step) & (F.col("log_offset") < (b + 1) * step)
+            )
+
+        for b in (0, 1):
+            table.merge(
+                net_changes(batch(b), cfg, table.schema), app_id="iv", batch_id=b, mor=True
+            )
+        v1 = table.current()["version"]
+        for b in (2, 3):
+            table.merge(
+                net_changes(batch(b), cfg, table.schema), app_id="iv", batch_id=b, mor=True
+            )
+        freq0 = token_frequencies(table.read(version=v1).select("tokens"))
+        feed = table.read_changes(v1, strategy="incremental", include_preimage=True)
+        out = apply_freq_delta(freq0, token_freq_delta(feed))
+        keep = _result_dir("ivm")
+        out.write.mode("overwrite").parquet(keep)
+        cache = getattr(feed, "_dss_changes_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        return spark.read.parquet(keep)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_tok_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination under the oracle: deterministic 80/20
     hash split of documents, then per-eval-doc fraction of distinct word
@@ -1359,6 +1420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tok_shuffle": _q_tok_shuffle,
     "tok_vocab": _q_tok_vocab,
     "tok_len_hist": _q_tok_len_hist,
+    "tok_freq_ivm": _q_tok_freq_ivm,
     "tok_contamination": _q_tok_contamination,
     "tok_contam_bloom": _q_tok_contam_bloom,
     "tok_bins": _q_tok_bins,
@@ -2277,6 +2339,23 @@ ORACLES.update(
                    min(n_tok) AS min_len,
                    max(n_tok) AS max_len
             FROM d GROUP BY 1
+        """,
+        # IVM-maintained frequencies must equal the full recount over the
+        # final LWW live state
+        "tok_freq_ivm": f"""
+            {_CH},
+            w AS (
+              SELECT log_offset, n_tok FROM changes
+              QUALIFY row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY log_offset DESC, seq DESC) = 1
+                AND op <> 'delete'
+            ),
+            t AS (
+              SELECT unnest(list_transform(range(1, n_tok + 1),
+                     x -> CAST((log_offset * 31 + x * 7) % 997 AS INT))) AS token
+              FROM w
+            )
+            SELECT token, count(*) AS freq FROM t GROUP BY 1
         """,
         "tok_contamination": _duck_contamination_sql(shingle_n=3, eval_pct=20),
         "doc_dedup_groups": _duck_dedup_groups_sql(),

@@ -151,6 +151,7 @@ def read_changes(
     include_internal: bool = False,
     strategy: str = "auto",
     classify: bool = True,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Net row-level changes in ``(from_version, to_version]`` — see the
     module docstring for semantics and the two physical strategies.
@@ -171,9 +172,22 @@ def read_changes(
     of the exact diff). ``classify=True`` labels insert/update/delete
     exactly and suppresses invisible changes, at the cost of one
     shuffle-free scan of the touched buckets of the ``from`` snapshot
-    (broadcast-semi-filtered map-side for broadcast-sized windows)."""
+    (broadcast-semi-filtered map-side for broadcast-sized windows).
+
+    ``include_preimage=True`` (classified feeds only) appends ``_pre`` —
+    a struct of the payload columns as of the ``from`` snapshot (null for
+    inserts) — the Delta CDF ``update_preimage`` analog that incremental
+    view maintenance needs (retract the old contribution, add the new).
+    It widens the from-state read from (keys, _ver, _op) to the full
+    payload, so request it only when the consumer actually differences
+    images."""
     if strategy not in ("auto", "incremental", "diff"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if include_preimage and not classify:
+        raise ValueError(
+            "include_preimage requires classify=True (the raw feed never "
+            "reads the from-state, so it has no pre-image to attach)"
+        )
     to_manifest = (
         table.current() if to_version is None else table._read_manifest(to_version)
     )
@@ -221,12 +235,18 @@ def read_changes(
             return _project(out, keys, payload, include_internal)
         # Classify against the FROM state of only the touched buckets —
         # this bucket-pruned read is what keeps a narrow window O(changes).
-        old = table.read(
+        old_full = table.read(
             buckets=sorted(net_files),
             version=from_version,
             include_internal=True,
             include_tombstones=True,
-        ).select(*keys, F.col(_VER).alias("_o_ver"), F.col(_OP).alias("_o_op"))
+        )
+        old = old_full.select(
+            *keys,
+            *(_pre_struct(old_full, payload) if include_preimage else []),
+            F.col(_VER).alias("_o_ver"),
+            F.col(_OP).alias("_o_op"),
+        )
         # A left join preserving cand can only BROADCAST its right side, and
         # the from-state is the big side — so for broadcast-sized windows,
         # first shrink it with a broadcast LEFT SEMI on the candidate keys
@@ -261,9 +281,15 @@ def read_changes(
             F.col(_VER),
             F.col(_OP),
         )
-        older = table.read(
+        older_full = table.read(
             version=from_version, include_internal=True, include_tombstones=True
-        ).select(*keys, F.col(_VER).alias("_o_ver"), F.col(_OP).alias("_o_op"))
+        )
+        older = older_full.select(
+            *keys,
+            *(_pre_struct(older_full, payload) if include_preimage else []),
+            F.col(_VER).alias("_o_ver"),
+            F.col(_OP).alias("_o_op"),
+        )
         j = newer.join(older, on=keys, how="full_outer")
         # state only moves forward, so _ver inequality ⇒ the new side won
         win = ~F.col(_VER).eqNullSafe(F.col("_o_ver"))
@@ -281,10 +307,33 @@ def read_changes(
             win & ~new_live, F.lit("delete")
         )
     out = src.withColumn(CHANGE_TYPE, ct).filter(F.col(CHANGE_TYPE).isNotNull())
-    projected = _project(out, keys, payload, include_internal)
+    if include_preimage:
+        # pre-image only where the key was LIVE at the from snapshot
+        # (inserts and tombstone-overwrites have none)
+        out = out.withColumn("_pre", F.when(old_live, F.col("_pre_raw")))
+    projected = _project(
+        out, keys, payload, include_internal, include_preimage=include_preimage
+    )
     if incremental:
         projected._dss_changes_cache = cand  # type: ignore[attr-defined]
     return projected
+
+
+def _pre_struct(df: DataFrame, payload) -> list:
+    """Payload columns of a from-state read packed into one struct,
+    conformed to the TO schema (columns added since the from snapshot →
+    null)."""
+    present = set(df.columns)
+    return [
+        F.struct(
+            *[
+                (F.col(f.name) if f.name in present else F.lit(None))
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in payload
+            ]
+        ).alias("_pre_raw")
+    ]
 
 
 def feed_schema(
@@ -440,7 +489,13 @@ class ChangeFeedPublisher:
         return rec
 
 
-def _project(out: DataFrame, keys, payload, include_internal: bool) -> DataFrame:
+def _project(
+    out: DataFrame,
+    keys,
+    payload,
+    include_internal: bool,
+    include_preimage: bool = False,
+) -> DataFrame:
     cols = [F.col(k) for k in keys] + [F.col(CHANGE_TYPE)]
     for f in payload:
         # post-image for insert/update/upsert; deletes carry a null payload
@@ -449,6 +504,8 @@ def _project(out: DataFrame, keys, payload, include_internal: bool) -> DataFrame
             .cast(f.dataType)
             .alias(f.name)
         )
+    if include_preimage:
+        cols.append(F.col("_pre"))
     if include_internal:
         cols.append(F.col(_VER))
     return out.select(*cols)

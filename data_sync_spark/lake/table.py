@@ -428,19 +428,22 @@ class LakeTable:
         include_internal: bool = False,
         strategy: str = "auto",
         classify: bool = True,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Row-level net change feed in ``(from_version, to_version]`` —
         the Delta CDF / Iceberg incremental-scan analog. Incremental
         O(window) path over MOR delta files with bucket-pruned
         classification (``classify=False``: raw upsert/delete feed, zero
-        table scan); snapshot-diff fallback when a COW merge or rescale
-        sits in the window. See :mod:`data_sync_spark.lake.changes`."""
+        table scan; ``include_preimage``: ``_pre`` struct for incremental
+        view maintenance); snapshot-diff fallback when a COW merge or
+        rescale sits in the window. See
+        :mod:`data_sync_spark.lake.changes`."""
         from data_sync_spark.lake.changes import read_changes as _rc
 
         return _rc(
             self, from_version, to_version=to_version,
             include_internal=include_internal, strategy=strategy,
-            classify=classify,
+            classify=classify, include_preimage=include_preimage,
         )
 
     # ----------------------------------------------------------------- write

@@ -369,6 +369,51 @@ def length_histogram(
     )
 
 
+def token_freq_delta(
+    feed: DataFrame,
+    tokens_col: str = "tokens",
+    change_type_col: str = "change_type",
+    pre_col: str = "_pre",
+) -> DataFrame:
+    """Incremental-view-maintenance delta for token frequencies from a
+    classified change feed carrying pre-images (``read_changes(...,
+    include_preimage=True)``): +1 per token occurrence in the post-image
+    of inserts/updates, −1 per token in the pre-image of updates/deletes,
+    summed per token and zero-deltas dropped. Strictly O(changed tokens):
+    at 100 TB, re-counting the corpus per batch is unrunnable; this keeps
+    the aggregate current for the cost of the window."""
+    post = feed.filter(F.col(change_type_col) != "delete").select(
+        F.explode(F.col(tokens_col)).alias("token"), F.lit(1).alias("d")
+    )
+    pre = feed.filter(F.col(pre_col).isNotNull()).select(
+        F.explode(F.col(f"{pre_col}.{tokens_col}")).alias("token"),
+        F.lit(-1).alias("d"),
+    )
+    return (
+        post.unionByName(pre)
+        .groupBy("token")
+        .agg(F.sum("d").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+
+
+def apply_freq_delta(freq: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge an IVM delta into a (token, freq) aggregate: full-outer join
+    on the token id (uniform hash keys — no skew), sum, and drop tokens
+    whose count reached zero. freq + Σdelta ≡ recount from scratch
+    (pinned by ``tok_freq_ivm`` against the DuckDB full recompute)."""
+    return (
+        freq.join(delta, on="token", how="full_outer")
+        .select(
+            F.col("token"),
+            (F.coalesce(F.col("freq"), F.lit(0)) + F.coalesce(F.col("delta"), F.lit(0)))
+            .cast("long")
+            .alias("freq"),
+        )
+        .filter(F.col("freq") > 0)
+    )
+
+
 def split_expr(id_col: str, eval_pct: int = 20, buckets: int = 100):
     """Deterministic, engine-portable split assignment: a document is
     ``eval`` iff ``H(CAST(id AS STRING)) % buckets < eval_pct`` with the

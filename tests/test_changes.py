@@ -629,3 +629,56 @@ def test_changes_composite_key(spark, tmp_path):
         tuple(r[k] for k in KEYS): r["change_type"] for _, r in feed.iterrows()
     }
     assert got == exp
+
+
+def test_changes_preimage(spark, tmp_path):
+    """include_preimage attaches the from-state payload struct: old image
+    for updates/deletes, null for inserts; identical on both strategies;
+    refused on the raw feed."""
+    rows = [
+        {"op": "insert", "doc_id": "a", "log_offset": 1, "seq": 0, "tokens": [1, 2], "n_tok": 2, "source": "web"},
+        {"op": "insert", "doc_id": "b", "log_offset": 2, "seq": 0, "tokens": [3], "n_tok": 1, "source": "web"},
+        {"op": "update", "doc_id": "a", "log_offset": 10, "seq": 0, "tokens": [9], "n_tok": 1, "source": "api"},
+        {"op": "delete", "doc_id": "b", "log_offset": 11, "seq": 0, "tokens": None, "n_tok": None, "source": "web"},
+        {"op": "insert", "doc_id": "c", "log_offset": 12, "seq": 0, "tokens": [7], "n_tok": 1, "source": "web"},
+    ]
+    events = spark.createDataFrame(pd.DataFrame(rows), schema=EVENT_SCHEMA)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    v1, _ = _merge_batches(table, events, cfg, [(0, 10), (10, 20)])
+    for strat in ("incremental", "diff"):
+        feed = table.read_changes(v1, strategy=strat, include_preimage=True)
+        assert "_pre" in feed.columns
+        got = {r["doc_id"]: r for r in feed.collect()}
+        assert got["a"]["change_type"] == "update"
+        assert got["a"]["_pre"]["source"] == "web"
+        assert list(got["a"]["_pre"]["tokens"]) == [1, 2]
+        assert got["a"]["source"] == "api"  # post-image intact
+        assert got["b"]["change_type"] == "delete"
+        assert got["b"]["_pre"]["n_tok"] == 1
+        assert got["c"]["change_type"] == "insert"
+        assert got["c"]["_pre"] is None
+    with pytest.raises(ValueError, match="include_preimage"):
+        table.read_changes(v1, classify=False, include_preimage=True)
+
+
+def test_token_freq_ivm_equals_recount(spark, tmp_path):
+    """IVM: bootstrap freq at v1 + the feed's delta ≡ recount over the
+    final state, on a random feed with updates and deletes."""
+    from data_sync_spark.textops.tokens import (
+        apply_freq_delta,
+        token_freq_delta,
+        token_frequencies,
+    )
+
+    events = change_feed(spark, 4_000, n_keys=250, seed=83)
+    cfg = PipelineConfig()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    v1, _ = _merge_batches(table, events, cfg, [(0, 2000), (2000, 4000)])
+    freq0 = token_frequencies(table.read(version=v1).select("tokens"))
+    feed = table.read_changes(v1, strategy="incremental", include_preimage=True)
+    maintained = apply_freq_delta(freq0, token_freq_delta(feed)).toPandas()
+    recount = token_frequencies(table.read().select("tokens")).toPandas()
+    m = dict(zip(maintained.token, maintained.freq))
+    r = dict(zip(recount.token, recount.freq))
+    assert m == r and len(r) > 0
