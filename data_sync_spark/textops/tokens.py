@@ -36,6 +36,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from data_sync_spark.textops.dedup import MINHASH_PRIME, _h, shingle_hash_array
@@ -412,6 +413,119 @@ def apply_freq_delta(freq: DataFrame, delta: DataFrame) -> DataFrame:
         )
         .filter(F.col("freq") > 0)
     )
+
+
+class TokenFreqTable:
+    """A MAINTAINED derived aggregate: a ``(token, freq)`` LakeTable kept
+    current from a source table's change feed — the materialized-view
+    pattern the reference cannot express (its sink is terminal).
+
+    ``refresh()`` is exactly-once and O(changed tokens): it reads the
+    source window ``(last refreshed version, current]`` with pre-images,
+    folds it to per-token deltas (``token_freq_delta``), joins the deltas
+    against the current aggregate (broadcast — the aggregate scan never
+    shuffles), and MERGEs only the changed tokens into the target keyed by
+    ``token``. Replay safety is anchored on SOURCE versions: the merge's
+    ``batch_id`` IS the source version, so a crashed/re-run refresh of the
+    same window is refused by the target's batch ledger, and the per-row
+    LWW version ``(source_version, 0)`` makes even cross-writer replays
+    harmless. If source history has expired past the ledger (the publisher
+    problem), refresh degrades to a full recount bootstrap.
+    """
+
+    APP = "tok-freq-ivm"
+
+    _SCHEMA = T.StructType(
+        [
+            T.StructField("token", T.IntegerType(), False),
+            T.StructField("freq", T.LongType(), True),
+        ]
+    )
+
+    def __init__(self, source, target, tokens_col: str = "tokens"):
+        self.source = source
+        self.target = target
+        self.tokens_col = tokens_col
+
+    @classmethod
+    def create(cls, source, path: str, n_buckets: int = 16,
+               tokens_col: str = "tokens") -> "TokenFreqTable":
+        from data_sync_spark.lake import LakeTable
+
+        target = LakeTable.create(
+            source.spark, path, cls._SCHEMA, n_buckets=n_buckets, key_col="token"
+        )
+        return cls(source, target, tokens_col=tokens_col)
+
+    def _net(self, changed: DataFrame, to: int) -> DataFrame:
+        live = F.col("freq") > 0
+        val = F.when(live, F.struct(F.col("freq")))
+        return changed.select(
+            F.col("token"),
+            F.lit(to).cast("long").alias("log_offset"),
+            F.lit(0).cast("int").alias("seq"),
+            F.when(live, F.lit("set")).otherwise(F.lit("drop")).alias("m_action"),
+            val.alias("m_val"),
+            F.when(live, F.lit("set")).otherwise(F.lit("none")).alias("u_action"),
+            val.alias("u_val"),
+        )
+
+    def refresh(self) -> dict | None:
+        """Fold all source commits since the last refresh into the
+        aggregate; returns a record or None when already current."""
+        from data_sync_spark.lake.changes import ChangeFeedUnavailable
+
+        frm = self.target.last_batch_id(self.APP)
+        frm = 0 if frm is None else int(frm)
+        to = int(self.source.current()["version"])
+        if to <= frm:
+            return None
+        feed = None
+        try:
+            feed = self.source.read_changes(frm, to, include_preimage=True)
+            delta = token_freq_delta(feed, tokens_col=self.tokens_col)
+            cur = self.target.read()
+            # deltas are the small side: broadcast them against the
+            # aggregate scan, keep only touched tokens, add
+            changed = cur.join(F.broadcast(delta), on="token", how="inner").select(
+                F.col("token"),
+                (F.col("freq") + F.col("delta")).cast("long").alias("freq"),
+            ).unionByName(
+                # brand-new tokens: in the delta, absent from the aggregate
+                delta.join(cur.select("token"), on="token", how="left_anti")
+                .select(F.col("token"), F.col("delta").cast("long").alias("freq"))
+            )
+            mode = "incremental"
+        except ChangeFeedUnavailable:
+            # history expired past the ledger: full recount bootstrap —
+            # rewrite every token's row (and drop vanished ones via the
+            # anti side)
+            recount = token_frequencies(
+                self.source.read().select(self.tokens_col)
+            )
+            vanished = (
+                self.target.read()
+                .select("token")
+                .join(recount.select("token"), on="token", how="left_anti")
+                .select(F.col("token"), F.lit(0).cast("long").alias("freq"))
+            )
+            changed = recount.unionByName(vanished)
+            mode = "recount"
+        try:
+            res = self.target.merge(
+                self._net(changed, to), app_id=self.APP, batch_id=to, mor=True
+            )
+        finally:
+            cache = getattr(feed, "_dss_changes_cache", None)
+            if cache is not None:
+                cache.unpersist()
+        return {
+            "source_from": frm,
+            "source_to": to,
+            "mode": mode,
+            "committed": res.committed,
+            "changed_tokens": res.net_rows if res.committed else 0,
+        }
 
 
 def split_expr(id_col: str, eval_pct: int = 20, buckets: int = 100):

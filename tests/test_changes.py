@@ -682,3 +682,46 @@ def test_token_freq_ivm_equals_recount(spark, tmp_path):
     m = dict(zip(maintained.token, maintained.freq))
     r = dict(zip(recount.token, recount.freq))
     assert m == r and len(r) > 0
+
+
+def test_token_freq_table_maintained_across_refreshes(spark, tmp_path):
+    """TokenFreqTable: a derived (token, freq) LakeTable kept current from
+    the source's change feed — exactly-once refreshes anchored on source
+    versions, O(changed tokens) per refresh, recount bootstrap after
+    history expiry."""
+    from data_sync_spark.textops.tokens import TokenFreqTable, token_frequencies
+
+    events = change_feed(spark, 4_000, n_keys=250, seed=89)
+    cfg = PipelineConfig()
+    src = LakeTable.create(spark, str(tmp_path / "s"), TARGET_SCHEMA, n_buckets=4)
+    ft = TokenFreqTable.create(src, str(tmp_path / "f"), n_buckets=4)
+
+    def recount():
+        return {
+            r["token"]: r["freq"]
+            for r in token_frequencies(src.read().select("tokens")).collect()
+        }
+
+    def maintained():
+        return {r["token"]: r["freq"] for r in ft.target.read().collect()}
+
+    _merge_batches(src, events, cfg, [(0, 2000)])
+    r1 = ft.refresh()
+    assert r1["committed"] and r1["mode"] == "incremental"
+    assert maintained() == recount()
+    # idempotent: nothing new → None; replaying the same window is refused
+    assert ft.refresh() is None
+    _merge_batches(src, events, cfg, [(2000, 4000)], app="cf2")
+    r2 = ft.refresh()
+    assert r2["committed"] and r2["source_from"] == r1["source_to"]
+    assert maintained() == recount()
+    # crash-replay: a second maintainer instance re-running the SAME window
+    # is refused by the target's batch ledger
+    ft2 = TokenFreqTable(src, ft.target)
+    assert ft2.refresh() is None
+    # history expiry past the ledger → recount bootstrap still converges
+    _merge_batches(src, events, cfg, [(0, 1000)], app="cf3")  # stale replay
+    src.expire_snapshots(keep_last=1, orphan_grace_sec=0.0)
+    r3 = ft.refresh()
+    assert r3 is not None and r3["mode"] == "recount"
+    assert maintained() == recount()
