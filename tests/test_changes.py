@@ -725,3 +725,45 @@ def test_token_freq_table_maintained_across_refreshes(spark, tmp_path):
     r3 = ft.refresh()
     assert r3 is not None and r3["mode"] == "recount"
     assert maintained() == recount()
+
+
+def test_publisher_chunks_across_schema_evolution(spark, tmp_path):
+    """Chunks published before a mid-stream ADD COLUMN have fewer columns;
+    a consumer reading the chunk dir with the UPSTREAM's evolved schema
+    (the CLI relay's --schema-from) null-fills old chunks and lands the
+    evolved state exactly."""
+    import os
+
+    from data_sync_spark.lake import ChangeFeedPublisher, LakeTable, feed_to_events
+    from data_sync_spark.lake.changes import feed_schema
+
+    events = change_feed(spark, 2_000, n_keys=150, seed=97, extra_from=1000)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    pub = ChangeFeedPublisher(a, str(tmp_path / "out"))
+    v1_df = events.filter(F.col("log_offset") < 1000).drop("extra_quality")
+    a.merge(net_changes(v1_df, cfg, a.schema), app_id="s", batch_id=0, mor=True)
+    pub.publish_pending()  # pre-evolution chunk (no extra_quality)
+    v2_df = events.filter(F.col("log_offset") >= 1000)
+    a.merge(net_changes(v2_df, cfg, a.schema), app_id="s", batch_id=1, mor=True)
+    pub.publish_pending()  # post-evolution chunk (with extra_quality)
+    sch = feed_schema(a.schema, key_col=a.key_col, include_internal=True)
+    assert "extra_quality" in [f.name for f in sch.fields]
+    b = LakeTable.create(spark, str(tmp_path / "b"), TARGET_SCHEMA, n_buckets=2)
+    chunks = sorted(
+        d for d in os.listdir(str(tmp_path / "out")) if d.startswith("changes_")
+    )
+    for i, c in enumerate(chunks):
+        feed = spark.read.schema(sch).parquet(os.path.join(str(tmp_path / "out"), c))
+        b.merge(net_changes(feed_to_events(feed), cfg, b.schema), app_id="c",
+                batch_id=i, mor=True)
+    av = a.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert "extra_quality" in bv.columns
+    assert list(av.doc_id) == list(bv.doc_id)
+    import pandas as pd
+
+    for x, y in zip(av.extra_quality, bv.extra_quality):
+        if pd.isna(x) and pd.isna(y):
+            continue
+        assert abs(x - y) < 1e-9
