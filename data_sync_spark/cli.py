@@ -105,19 +105,39 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def _relay_chunk_to_version(name: str) -> int | None:
+    """Terminal version of a publisher chunk dir, from its name
+    (``changes_{frm:08d}_{to:08d}`` / ``changes_snapshot_{to:08d}``)."""
+    import re
+
+    m = re.match(r"changes_snapshot_(\d+)$", name)
+    if m:
+        return int(m.group(1))
+    m = re.match(r"changes_(\d+)_(\d+)$", name)
+    if m:
+        return int(m.group(2))
+    return None
+
+
 def cmd_relay(args) -> int:
-    """Downstream half of the CDC relay: tail a publisher's outbound chunk
-    directory (``replay --publish-dir``) as a streaming source and MERGE it
-    into a second table. Chunks carry the raw change feed with the applied
-    ``_ver``, so ordering between chunks is irrelevant (LWW) and replays
-    are idempotent; the streaming checkpoint + batch ledger give
-    exactly-once on the downstream table too."""
+    """Downstream half of the CDC relay: apply a publisher's outbound chunk
+    directory (``replay --publish-dir``) into a second table, one MERGE per
+    chunk in version order.
+
+    The relay is LEDGER-driven, not checkpoint-driven: each chunk's
+    terminal version is its ``batch_id`` on the downstream table's app
+    ledger, so a replayed/crashed relay skips applied chunks without a
+    separate streaming checkpoint, and each chunk is read with its OWN
+    parquet footer schema — a column added upstream mid-stream arrives
+    typed in the next chunk and auto-evolves the downstream table, instead
+    of being silently null-filled by a static source schema captured at
+    relay startup (advisor r5). Wider crash-replay chunks that overlap an
+    applied window re-apply idempotently (equal ``_ver`` loses LWW)."""
     import os
 
     from data_sync_spark.lake import LakeTable, feed_to_events
-    from data_sync_spark.lake.changes import feed_schema
     from data_sync_spark.metrics import MetricsSink
-    from data_sync_spark.streaming.runner import run_stream
+    from data_sync_spark.streaming.runner import apply_batch
 
     spark = _spark(args)
     cfg = _load_cfg(args)
@@ -125,33 +145,21 @@ def cmd_relay(args) -> int:
         table = LakeTable.load(spark, args.table)
     else:
         table = LakeTable.create(spark, args.table, TARGET_SCHEMA, n_buckets=args.buckets)
-    src_schema = TARGET_SCHEMA
-    key_col = "doc_id"
-    if getattr(args, "schema_from", None):
-        # read the upstream table's CURRENT (possibly evolved) schema so
-        # columns added mid-stream are not silently dropped by a stale
-        # static schema
-        upstream = LakeTable.load(spark, args.schema_from)
-        src_schema, key_col = upstream.schema, upstream.key_col
-    chunks = (
-        spark.readStream.schema(
-            feed_schema(src_schema, key_col=key_col, include_internal=True)
+    sink = MetricsSink(table.path)
+    chunks = sorted(
+        (v, n)
+        for n in os.listdir(args.feed)
+        if (v := _relay_chunk_to_version(n)) is not None
+    )
+    recs = []
+    for to, name in chunks:
+        feed = spark.read.parquet(os.path.join(args.feed, name))
+        recs.append(
+            apply_batch(
+                table, feed_to_events(feed), to, cfg, app_id=args.app_id,
+                sink=sink,
+            )
         )
-        .option("maxFilesPerTrigger", args.files_per_trigger)
-        .option("latestFirst", "false")
-        .parquet(os.path.join(args.feed, "changes_*"))
-    )
-    q = run_stream(
-        spark,
-        None,
-        table,
-        cfg,
-        checkpoint_dir=args.checkpoint,
-        app_id=args.app_id,
-        feed=feed_to_events(chunks),
-    )
-    q.awaitTermination()
-    recs = MetricsSink(table.path).records()
     print(
         json.dumps(
             {
@@ -375,7 +383,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     rl.add_argument("--feed", required=True, help="publisher --publish-dir path")
     rl.add_argument("--table", required=True)
-    rl.add_argument("--checkpoint", required=True)
+    rl.add_argument(
+        "--checkpoint",
+        default=None,
+        help="unused (accepted for compatibility): the downstream table's "
+        "app-state batch ledger IS the relay checkpoint",
+    )
     rl.add_argument("--config", default=None)
     rl.add_argument("--app-id", default="relay")
     rl.add_argument("--buckets", type=int, default=64)
@@ -383,8 +396,8 @@ def main(argv: list[str] | None = None) -> int:
     rl.add_argument(
         "--schema-from",
         default=None,
-        help="upstream table path; read its current (evolved) schema for "
-        "the chunk source instead of the static default",
+        help="unused (accepted for compatibility): each chunk is read with "
+        "its own footer schema, so upstream evolution arrives typed",
     )
     rl.set_defaults(fn=cmd_relay)
 

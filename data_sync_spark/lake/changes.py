@@ -443,12 +443,16 @@ class ChangeFeedPublisher:
             # snapshot-then-tail bootstrap, reversed).
             return self._publish_snapshot(to)
         if not net_files and incremental and all(
-            s.get("operation") == "app-state" and s.get("app") == self.app_id
-            for s in summaries
+            s.get("operation") == "app-state" for s in summaries
         ):
-            # the window is only our own ledger commits — advancing the
-            # ledger would mint yet another one (an idle publisher must not
-            # grow the table's history); nothing to publish, nothing to do
+            # the window is only app-state ledger commits — ours OR any
+            # other app's (advisor r5: with two publishers on one table,
+            # matching only our own app made each idle poll see the
+            # other's ledger commit and mint a new one to advance past it,
+            # so two idle publishers ping-ponged history one commit per
+            # poll forever). Advancing the ledger would mint yet another
+            # app-state commit; leave the ledger alone — re-inspecting the
+            # summaries next poll is cheap and commits nothing.
             return None
         rec = {"from_version": frm, "to_version": to, "rows": 0, "path": None}
         if net_files or not incremental:
@@ -456,10 +460,20 @@ class ChangeFeedPublisher:
                 self.table, frm, to, include_internal=True,
                 classify=self.classify,
             )
-            chunk = os.path.join(self.out_dir, f"changes_{frm:08d}_{to:08d}")
-            feed.write.mode("overwrite").parquet(chunk)
-            rec["path"] = chunk
-            rec["rows"] = self.table.spark.read.parquet(chunk).count()
+            try:
+                chunk = os.path.join(
+                    self.out_dir, f"changes_{frm:08d}_{to:08d}"
+                )
+                feed.write.mode("overwrite").parquet(chunk)
+                rec["path"] = chunk
+                rec["rows"] = self.table.spark.read.parquet(chunk).count()
+            finally:
+                # the classified incremental path persists a window-resolve
+                # DataFrame (advisor r5: a long-running relay leaked one
+                # per published window)
+                cache = getattr(feed, "_dss_changes_cache", None)
+                if cache is not None:
+                    cache.unpersist()
         # ledger advance is the LAST step: a crash anywhere above replays
         # the identical window into the identical chunk name
         self.table.set_app_state(self.app_id, published_version=to)

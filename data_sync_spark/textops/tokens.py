@@ -499,9 +499,13 @@ class TokenFreqTable:
         except ChangeFeedUnavailable:
             # history expired past the ledger: full recount bootstrap —
             # rewrite every token's row (and drop vanished ones via the
-            # anti side)
+            # anti side). Pin the read to version=to (advisor r5): an
+            # unpinned read() sees any source commit that lands between
+            # capturing `to` and scanning, baking post-`to` data into an
+            # aggregate whose ledger claims batch_id=to — the next refresh
+            # over (to, to+k] would then double-apply those deltas.
             recount = token_frequencies(
-                self.source.read().select(self.tokens_col)
+                self.source.read(version=to).select(self.tokens_col)
             )
             vanished = (
                 self.target.read()
