@@ -33,10 +33,14 @@ Two physical strategies, chosen per window:
   app-state / add-column commits inside the window are state-invariant and
   skipped; their de-registered delta files remain on disk until
   ``expire_snapshots``, so the window read stays valid.
-* **Snapshot diff (fallback)** — a COW merge or a bucket rescale inside the
-  window rewrites state in place (its commit does not carry net rows), so
+* **Snapshot diff (fallback)** — a COW merge inside the window folds net
+  rows into whole-bucket rewrites (its commit does not isolate them), so
   the feed falls back to a full-outer join of the two snapshot reads keyed
-  on ``_ver`` inequality. Correct for every window; O(table) cost.
+  on ``_ver`` inequality. Correct for every window; O(table) cost. A bucket
+  RESCALE no longer forces this fallback: it is state-invariant, and net
+  files keep the bucket ids of their own commit's layout, mapped into the
+  from-snapshot's layout for pruning (``_map_buckets_to_layout`` — exact
+  for power-of-two rescales).
 
 Both strategies emit byte-identical feeds (pinned by
 ``tests/test_changes.py`` across random replay schedules).
@@ -67,13 +71,16 @@ from data_sync_spark.schema import KEY_COL, as_key_cols
 CHANGE_TYPE = "change_type"
 
 # Commits that never alter the resolved live state of any key: the window
-# walk skips them. (``rescale`` is also state-invariant, but it renumbers
-# buckets, which invalidates the incremental path's bucket pruning — it
-# forces the fallback instead, see _window_commits.)
+# walk skips them. (``rescale`` is handled separately in _window_commits:
+# also state-invariant, but it renumbers buckets, so net-file bucket ids are
+# tracked per-commit-layout and mapped for pruning — see
+# _map_buckets_to_layout.)
 _STATE_INVARIANT = {
     "create",
     "app-state",
     "add-columns",
+    "rename-column",
+    "widen-column",
     "compact",
     "consolidate-deltas",
     "expire-snapshots",
@@ -93,13 +100,18 @@ class ChangeFeedUnavailable(RuntimeError):
 
 def _window_commits(table, from_version: int, to_manifest: dict):
     """Walk child→parent from ``to`` down to ``from``; return
-    ``(net_files, incremental, summaries)`` where ``net_files`` maps bucket
-    → list of relative paths added by merge-mor/append commits in the
-    window, ``incremental`` is False when any commit in the window (COW
-    merge, rescale, unknown op) requires the snapshot-diff fallback, and
-    ``summaries`` is the newest-first list of the window commits'
-    ``summary`` dicts."""
+    ``(net_files, incremental, summaries, net_layouts)`` where ``net_files``
+    maps bucket → list of relative paths added by merge-mor/append commits
+    in the window, ``incremental`` is False when any commit in the window
+    (COW merge, unknown op) requires the snapshot-diff fallback,
+    ``summaries`` is the newest-first list of the window commits' ``summary``
+    dicts, and ``net_layouts`` is the set of ``(n_buckets_at_commit,
+    bucket_id)`` pairs for every net file — a RESCALE inside the window is
+    state-invariant for the feed (it rewrites every row with its ``_ver``
+    unchanged), so the walk keeps going; pruning maps each net bucket to
+    from-layout candidates via :func:`_map_buckets_to_layout`."""
     net_files: dict[int, list[str]] = {}
+    net_layouts: set[tuple[int, int]] = set()
     summaries: list[dict] = []
     incremental = True
     child = to_manifest
@@ -123,15 +135,73 @@ def _window_commits(table, from_version: int, to_manifest: dict):
         if op in _NET_FILE_KIND:
             kind = _NET_FILE_KIND[op]
             pfiles = parent.get("files", {})
+            n_at = int(child["n_buckets"])
             for b, entry in child.get("files", {}).items():
                 before = set(pfiles.get(b, {}).get(kind, []))
                 added = [p for p in entry.get(kind, []) if p not in before]
                 if added:
                     net_files.setdefault(int(b), []).extend(added)
+                    net_layouts.add((n_at, int(b)))
+        elif op == "rescale":
+            # state-invariant for the feed: every row is rewritten with its
+            # _ver unchanged; the rescale's own added files carry no net
+            # change and are skipped. Net files recorded above keep the
+            # bucket ids of THEIR commit's layout (net_layouts).
+            pass
         elif op not in _STATE_INVARIANT:
-            incremental = False  # COW merge / rescale / unknown
+            incremental = False  # COW merge / unknown op
         child = parent
-    return net_files, incremental, summaries
+    return net_files, incremental, summaries, net_layouts
+
+
+def _map_buckets_to_layout(
+    net_layouts: set[tuple[int, int]], n_target: int
+) -> list[int]:
+    """Map net-file bucket ids (recorded under their commit's layout) to
+    candidate bucket ids under ``n_target`` buckets. With ``bucket = h mod
+    N``, a key in bucket ``b`` under ``N_c`` lands under ``N_t`` only in
+    buckets ``o ≡ b (mod gcd(N_c, N_t))`` — exact (one bucket) whenever one
+    layout divides the other (the normal power-of-two rescale), a
+    ``gcd``-fold pruning otherwise."""
+    from math import gcd
+
+    out: set[int] = set()
+    for n_at, b in net_layouts:
+        if n_at == n_target:
+            out.add(b)
+            continue
+        g = gcd(n_at, n_target)
+        out.update(range(b % g, n_target, g))
+    return sorted(out)
+
+
+def _align_to(df: DataFrame, from_manifest: dict, to_manifest: dict) -> DataFrame:
+    """Align a ``version=from`` read to the TO snapshot's logical names and
+    (widened) types: compose from-logical → stable physical → to-logical
+    through the two manifests' ``column_physical`` maps, and cast each
+    surviving column to its current type. Internal columns pass through.
+    Pure projection — no shuffle, no pushdown impact."""
+    pf = from_manifest.get("column_physical") or {}
+    pt = to_manifest.get("column_physical") or {}
+    if not pf and not pt:
+        return df
+    inv_t = {v: k for k, v in pt.items()}
+    to_types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(to_manifest["schema"]).fields
+    }
+    cols = []
+    for c in df.columns:
+        if c.startswith("_"):
+            cols.append(F.col(c))
+            continue
+        phys = pf.get(c, c)
+        tgt = inv_t.get(phys, phys)
+        col = F.col(c)
+        if tgt in to_types:
+            col = col.cast(to_types[tgt])
+        cols.append(col.alias(tgt))
+    return df.select(*cols)
 
 
 def _classify(win_col, cand_live, old_live):
@@ -203,15 +273,15 @@ def read_changes(
     if from_version == to_version:
         return table.spark.createDataFrame([], out_schema)
 
-    net_files, incremental, _ = _window_commits(table, from_version, to_manifest)
+    net_files, incremental, _, net_layouts = _window_commits(
+        table, from_version, to_manifest
+    )
     from_manifest = table._read_manifest(from_version)
-    if int(from_manifest["n_buckets"]) != int(to_manifest["n_buckets"]):
-        incremental = False  # bucket ids renumbered across the window
     if strategy == "incremental" and not incremental:
         raise ValueError(
             f"window (v{from_version}, v{to_version}] contains a COW merge "
-            "or rescale — incremental change read is unsound; use "
-            "strategy='auto' or 'diff'"
+            "— incremental change read is unsound; use strategy='auto' or "
+            "'diff'"
         )
     if strategy == "diff":
         incremental = False
@@ -222,7 +292,7 @@ def read_changes(
         if not net_files:
             return table.spark.createDataFrame([], out_schema)
         paths = [p for ps in net_files.values() for p in ps]
-        raw = table.spark.read.schema(dschema).parquet(*table._abs(paths))
+        raw = table._scan_files(paths, dschema, to_manifest.get("column_physical"))
         cand = _resolve(raw, dschema, keys)
         if not classify:
             # raw net feed: window files only — no state read, no join
@@ -235,11 +305,19 @@ def read_changes(
             return _project(out, keys, payload, include_internal)
         # Classify against the FROM state of only the touched buckets —
         # this bucket-pruned read is what keeps a narrow window O(changes).
-        old_full = table.read(
-            buckets=sorted(net_files),
-            version=from_version,
-            include_internal=True,
-            include_tombstones=True,
+        old_full = _align_to(
+            table.read(
+                # net bucket ids mapped into the FROM snapshot's layout —
+                # exact across power-of-two rescales, gcd-pruned otherwise
+                buckets=_map_buckets_to_layout(
+                    net_layouts, int(from_manifest["n_buckets"])
+                ),
+                version=from_version,
+                include_internal=True,
+                include_tombstones=True,
+            ),
+            from_manifest,
+            to_manifest,
         )
         old = old_full.select(
             *keys,
@@ -281,8 +359,13 @@ def read_changes(
             F.col(_VER),
             F.col(_OP),
         )
-        older_full = table.read(
-            version=from_version, include_internal=True, include_tombstones=True
+        older_full = _align_to(
+            table.read(
+                version=from_version, include_internal=True,
+                include_tombstones=True,
+            ),
+            table._read_manifest(from_version),
+            to_manifest,
         )
         older = older_full.select(
             *keys,
@@ -429,7 +512,7 @@ class ChangeFeedPublisher:
         if to <= frm:
             return None
         try:
-            net_files, incremental, summaries = _window_commits(
+            net_files, incremental, summaries, _ = _window_commits(
                 self.table, frm, to_manifest
             )
         except ChangeFeedUnavailable:

@@ -133,6 +133,29 @@ def _physical(schema: T.StructType) -> T.StructType:
     return T.StructType(list(schema.fields) + [T.StructField(_VER, _VER_TYPE, True)])
 
 
+# Safe type promotions for widen_column (the Iceberg V1/V2 lattice plus the
+# exact integer->double embedding). Spark 4's parquet readers natively
+# up-cast narrower physical pages on scan (type-promotion support added for
+# lakehouse type widening), so widening is a metadata-only commit.
+_WIDEN_OK = {
+    "byte": ("short", "integer", "long", "double"),
+    "short": ("integer", "long", "double"),
+    "integer": ("long", "double"),
+    "float": ("double",),
+}
+
+
+def _physize_schema(schema: T.StructType, pmap: dict | None) -> T.StructType:
+    """Logical schema -> physical scan schema: stable birth names (Delta
+    column-mapping analog), current (widened) types."""
+    if not pmap:
+        return schema
+    return T.StructType(
+        [T.StructField(pmap.get(f.name, f.name), f.dataType, f.nullable)
+         for f in schema.fields]
+    )
+
+
 def _delta_schema(schema: T.StructType) -> T.StructType:
     phys = _physical(schema)
     return T.StructType(list(phys.fields) + [T.StructField(_OP, T.StringType(), True)])
@@ -396,15 +419,14 @@ class LakeTable:
             else:
                 clean_base.extend(entry.get("base", []))
 
+        pmap = manifest.get("column_physical")
         parts: list[DataFrame] = []
         if clean_base:
             # base files may carry retained tombstones (compaction output);
             # files written before that carry no _op column → null → 'set'
-            parts.append(
-                self.spark.read.schema(dschema).parquet(*self._abs(clean_base))
-            )
+            parts.append(self._scan_files(clean_base, dschema, pmap))
         if dirty_files:
-            raw = self.spark.read.schema(dschema).parquet(*self._abs(dirty_files))
+            raw = self._scan_files(dirty_files, dschema, pmap)
             parts.append(_resolve(raw, dschema, keys))
         if not parts:
             df = self.spark.createDataFrame([], dschema)
@@ -435,9 +457,9 @@ class LakeTable:
         O(window) path over MOR delta files with bucket-pruned
         classification (``classify=False``: raw upsert/delete feed, zero
         table scan; ``include_preimage``: ``_pre`` struct for incremental
-        view maintenance); snapshot-diff fallback when a COW merge or
-        rescale sits in the window. See
-        :mod:`data_sync_spark.lake.changes`."""
+        view maintenance); snapshot-diff fallback when a COW merge sits in
+        the window (a rescale stays incremental via cross-layout bucket
+        mapping). See :mod:`data_sync_spark.lake.changes`."""
         from data_sync_spark.lake.changes import read_changes as _rc
 
         return _rc(
@@ -446,15 +468,37 @@ class LakeTable:
             classify=classify, include_preimage=include_preimage,
         )
 
+    def _scan_files(
+        self, rels: list[str], dschema: T.StructType, pmap: dict | None
+    ) -> DataFrame:
+        """Scan data files with the PHYSICAL schema — stable birth column
+        names (rename is metadata-only; Delta column-mapping analog) and
+        current widened types (Spark 4 parquet readers up-cast narrower
+        physical pages natively) — then alias back to logical names, a pure
+        projection that doesn't block pushdown."""
+        phys = _physize_schema(dschema, pmap)
+        df = self.spark.read.schema(phys).parquet(*self._abs(rels))
+        if pmap:
+            df = df.select(
+                *[F.col(pmap.get(f.name, f.name)).alias(f.name)
+                  for f in dschema.fields]
+            )
+        return df
+
     # ----------------------------------------------------------------- write
     def _write_bucket_files(
-        self, df: DataFrame, version: int, tag: str
+        self, df: DataFrame, version: int, tag: str, pmap: dict | None = None
     ) -> dict[str, list[str]]:
         """Write ``df`` (payload + _bucket col) under data/{tag}{version}_
         {uuid}/ and return {bucket: [relative file paths]}. The uuid suffix
         keeps concurrent writers that share a snapshot version from
         clobbering each other's directories; the version prefix is
         informational only."""
+        if pmap:
+            # files carry PHYSICAL names forever (rename is metadata-only)
+            df = df.select(
+                *[F.col(c).alias(pmap.get(c, c)) for c in df.columns]
+            )
         rel_dir = os.path.join("data", f"{tag}{version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -533,7 +577,9 @@ class LakeTable:
                 _BUCKET,
                 bucket_expr(manifest["n_buckets"], manifest.get("key_col", KEY_COL)),
             )
-            new_files = self._write_bucket_files(out, version, "a")
+            new_files = self._write_bucket_files(
+                out, version, "a", pmap=manifest.get("column_physical")
+            )
 
             # base-file adds commute with every other commit EXCEPT a rescale
             # (files are hashed with this snapshot's bucket count — under a
@@ -579,6 +625,7 @@ class LakeTable:
         manifest = self.current()
 
         def build(m: dict) -> dict | None:
+            _check_physical_collision(m, [f.name for f in fields])
             schema = _union_schema(T.StructType.fromJson(m["schema"]), fields)
             if schema.jsonValue() == m["schema"]:
                 return None
@@ -587,6 +634,94 @@ class LakeTable:
                 "summary": {
                     "operation": "add-columns",
                     "columns": [f.name for f in fields],
+                },
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        return manifest["version"] if child is None else child["version"]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column RENAME, no file rewrite — the public Delta
+        Lake column-mapping / Iceberg field-id pattern: every column keeps
+        the stable PHYSICAL name it was born with; the manifest maps
+        logical→physical (``column_physical``), writes conform
+        logical→physical, scans alias physical→logical. Old data files are
+        untouched; the change feed, MOR resolution and time travel all keep
+        working (a ``version=`` read before the rename shows the old name).
+        Key columns may be renamed (bucket hashing is by value, not name).
+        Reference analog: the ref's whole evolution story is a 10s-TTL DESC
+        re-check (``mysql_handler.go:282-294``) — a rename there silently
+        desyncs; here it is one commit."""
+        if new.startswith("_"):
+            raise ValueError(f"'{new}' is reserved for internal columns")
+        manifest = self.current()
+
+        def build(m: dict) -> dict | None:
+            schema = T.StructType.fromJson(m["schema"])
+            names = {f.name for f in schema.fields}
+            if old not in names:
+                raise ValueError(f"no such column: {old}")
+            if new in names:
+                raise ValueError(f"column already exists: {new}")
+            pmap = dict(m.get("column_physical") or {})
+            phys = pmap.pop(old, old)
+            # collision check AFTER dropping this column's own entry, so a
+            # rename back to the birth name is allowed
+            _check_physical_collision({"column_physical": pmap}, [new])
+            if phys != new:  # renaming back to the birth name clears the entry
+                pmap[new] = phys
+            fields = [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+            key_col = m.get("key_col", KEY_COL)
+            keys = as_key_cols(key_col)
+            if old in keys:
+                keys = [new if k == old else k for k in keys]
+                key_col = keys if isinstance(key_col, list) else keys[0]
+            return {
+                "schema": T.StructType(fields).jsonValue(),
+                "column_physical": pmap,
+                "key_col": key_col,
+                "summary": {"operation": "rename-column", "from": old, "to": new},
+            }
+
+        child = self._commit_with_rebase(build, manifest)
+        return manifest["version"] if child is None else child["version"]
+
+    def widen_column(self, name: str, new_type: T.DataType) -> int:
+        """Metadata-only type WIDENING (int→long, float→double, …; see
+        ``_WIDEN_OK``), no file rewrite: Spark 4's parquet readers natively
+        up-cast narrower physical pages on scan, so old files keep their
+        narrow encoding and new writes land the wide type. Lossy narrowing
+        (long→int, double→float, long→double) is refused."""
+        manifest = self.current()
+
+        def build(m: dict) -> dict | None:
+            schema = T.StructType.fromJson(m["schema"])
+            out, src = [], None
+            for f in schema.fields:
+                if f.name == name:
+                    src = f.dataType
+                    if src == new_type:
+                        return None  # idempotent
+                    if new_type.typeName() not in _WIDEN_OK.get(src.typeName(), ()):
+                        raise ValueError(
+                            f"cannot widen {name}: {src.simpleString()} -> "
+                            f"{new_type.simpleString()} is not a safe promotion"
+                        )
+                    out.append(T.StructField(name, new_type, f.nullable))
+                else:
+                    out.append(f)
+            if src is None:
+                raise ValueError(f"no such column: {name}")
+            return {
+                "schema": T.StructType(out).jsonValue(),
+                "summary": {
+                    "operation": "widen-column",
+                    "column": name,
+                    "from": src.simpleString(),
+                    "to": new_type.simpleString(),
                 },
             }
 
@@ -645,6 +780,7 @@ class LakeTable:
                 known = {f.name for f in schema.fields}
                 new_fields = [f for f in payload_struct.fields if f.name not in known]
                 if new_fields:
+                    _check_physical_collision(manifest, [f.name for f in new_fields])
                     for f in new_fields:
                         schema = schema.add(T.StructField(f.name, f.dataType, True))
                     evolved = [f.name for f in new_fields]
@@ -724,7 +860,9 @@ class LakeTable:
             F.col(_BUCKET),
         )
         version = manifest["version"] + 1
-        new_files = self._write_bucket_files(out, version, "d")
+        new_files = self._write_bucket_files(
+            out, version, "d", pmap=manifest.get("column_physical")
+        )
         got = _safe_obs(obs, {"net_rows": 0, "sets": 0, "drops": 0, "divergent": 0})
         if int(got.get("divergent") or 0) > 0:
             raise ValueError(
@@ -860,7 +998,9 @@ class LakeTable:
         )
         version = manifest["version"] + 1
         try:
-            new_files = self._write_bucket_files(resolved, version, "c")
+            new_files = self._write_bucket_files(
+                resolved, version, "c", pmap=manifest.get("column_physical")
+            )
         except Exception as e:
             if _is_missing_file_error(e, self.path):
                 # a concurrent expire removed files under this pinned read —
@@ -925,13 +1065,15 @@ class LakeTable:
         if not targets:
             return []
         delta_paths = [p for e in targets.values() for p in e["delta"]]
-        raw = self.spark.read.schema(dschema).parquet(*self._abs(delta_paths))
+        raw = self._scan_files(delta_paths, dschema, manifest.get("column_physical"))
         resolved = _resolve(raw, dschema, keys).withColumn(
             _BUCKET, bucket_expr(manifest["n_buckets"], keys)
         )
         version = manifest["version"] + 1
         try:
-            new_files = self._write_bucket_files(resolved, version, "x")
+            new_files = self._write_bucket_files(
+                resolved, version, "x", pmap=manifest.get("column_physical")
+            )
         except Exception as e:
             if _is_missing_file_error(e, self.path):
                 return []  # concurrent expire under the pinned read — skip
@@ -986,7 +1128,10 @@ class LakeTable:
                 include_internal=True,
                 include_tombstones=True,
             ).withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
-            new_files = self._write_bucket_files(rows, manifest["version"] + 1, "r")
+            new_files = self._write_bucket_files(
+                rows, manifest["version"] + 1, "r",
+                pmap=manifest.get("column_physical"),
+            )
 
             def build(m: dict) -> dict:
                 if m["version"] != manifest["version"]:
@@ -1228,7 +1373,9 @@ class LakeTable:
             )
 
             version = manifest["version"] + 1
-            new_files = self._write_bucket_files(out, version, "s")
+            new_files = self._write_bucket_files(
+                out, version, "s", pmap=manifest.get("column_physical")
+            )
             got = _safe_obs(obs, {"rows_out": 0, "kept": 0, "resolved": 0, "new": 0})
 
             # COW REPLACES the affected buckets' files, so it only commutes
@@ -1374,6 +1521,20 @@ def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
         if base and f"/{base}/data/" in s:
             return True
     return False
+
+
+def _check_physical_collision(manifest: dict, new_names: list[str]) -> None:
+    """A new logical column may not reuse a physical name still owned by a
+    RENAMED column — the scan schema would request one physical column for
+    two logical fields and silently serve wrong data."""
+    held = set((manifest.get("column_physical") or {}).values())
+    clash = [n for n in new_names if n in held]
+    if clash:
+        raise ValueError(
+            f"column name(s) {clash} collide with the physical name of a "
+            f"renamed column (column_physical="
+            f"{manifest.get('column_physical')}); pick another name"
+        )
 
 
 def _union_schema(base: T.StructType, extra) -> T.StructType:
