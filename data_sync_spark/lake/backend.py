@@ -177,8 +177,13 @@ class InMemoryBackend:
             s["pointer"] = version
 
     def list_versions(self, table_path: str) -> list[int]:
+        # resolve the store BEFORE taking the lock: _store() acquires the
+        # same non-reentrant class lock, so the previous inline call
+        # self-deadlocked the first expire_snapshots on this backend
+        # (flushed out by the r6 publisher soak)
+        s = self._store(table_path)
         with self._lock:
-            return sorted(self._store(table_path)["manifests"])
+            return sorted(s["manifests"])
 
     def delete_manifest(self, table_path: str, version: int) -> None:
         s = self._store(table_path)

@@ -370,6 +370,252 @@ def ivf_topk(
     return cosine_topk(candidates, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
+# ------------------------------------------------------------------ IVF-PQ
+# Product quantization of coarse residuals (public: Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+# IVFADC scheme): within each inverted list, the residual r = x − c_list is
+# split into m subvectors, each vector-quantized against a ksub-codeword
+# codebook, so a vector stores m small codes (m bytes at ksub ≤ 256)
+# instead of dims floats. A probe computes per-list asymmetric distance
+# tables T[j][code] = ‖(q − c_list)_j − codebook[j][code]‖² (m×ksub floats,
+# driver-side), scans ONLY the codes column of the probed partitions
+# (column pruning: m bytes/vector instead of 4·dims), takes the ADC top-R,
+# and exactly re-ranks those R by true cosine. This is the memory-side
+# complement to partition pruning at 100 TB: the hot scan shrinks from
+# O(dims) to O(m) bytes per candidate, and the exact pass touches only R
+# full vectors.
+
+
+def pq_train(
+    df: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train residual PQ codebooks: deterministic Lloyd's per subspace
+    (init = the ksub residual subvectors of the smallest ids; ties on
+    index). One Arrow-vectorized corpus pass per iteration emitting
+    (subspace, code, dim) partial sums — a single hash aggregation, no
+    shuffle of vectors; the driver holds only m·ksub·dsub floats."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    dims = cents.shape[1]
+    assert dims % m == 0, f"dims {dims} not divisible by m {m}"
+    dsub = dims // m
+    c2 = (cents * cents).sum(axis=1)
+
+    # deterministic init: residual subvectors of the ksub smallest ids
+    seed_rows = (
+        df.orderBy(F.asc(id_col))
+        .limit(ksub)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    x0 = np.asarray([r["v"] for r in seed_rows], dtype=np.float64)
+    l0 = (c2[None, :] - 2.0 * (x0 @ cents.T)).argmin(axis=1)
+    r0 = x0 - cents[l0]
+    books = np.stack(
+        [r0[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+    )  # [m][ksub][dsub]
+
+    part_schema = T.StructType(
+        [
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("code", T.IntegerType(), False),
+            T.StructField("d", T.IntegerType(), False),
+            T.StructField("s", T.DoubleType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    for _ in range(iters):
+        bks = books.copy()
+
+        def partials(batches, _bks=bks):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                res = x - cents[(c2[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1)]
+                rows = []
+                for j in range(m):
+                    rj = res[:, j * dsub : (j + 1) * dsub]
+                    bj = _bks[j]
+                    d2 = (bj * bj).sum(axis=1)[None, :] - 2.0 * (rj @ bj.T)
+                    code = d2.argmin(axis=1)
+                    for cde in np.unique(code):
+                        sel = rj[code == cde]
+                        for d in range(dsub):
+                            rows.append(
+                                (j, int(cde), d, float(sel[:, d].sum()), len(sel))
+                            )
+                yield pd.DataFrame(rows, columns=["j", "code", "d", "s", "n"])
+
+        agg = (
+            df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+            .mapInPandas(partials, schema=part_schema)
+            .groupBy("j", "code", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        for r in agg:
+            if r["n"]:
+                books[r["j"], r["code"], r["d"]] = r["s"] / r["n"]
+    return [[list(map(float, cw)) for cw in books[j]] for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``_list`` (coarse assignment) and ``_codes`` (array<int>,
+    length m) — the PQ compression pass, Arrow-vectorized."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)  # [m][ksub][dsub]
+    m, _ksub, dsub = books.shape
+    c2 = (cents * cents).sum(axis=1)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("_list", T.IntegerType(), False),
+            T.StructField("_codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["_list"] = pdf.index.astype("int32")
+                pdf["_codes"] = [[] for _ in range(len(pdf))]
+                yield pdf
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            lists = (c2[None, :] - 2.0 * (x @ cents.T)).argmin(axis=1)
+            res = x - cents[lists]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                rj = res[:, j * dsub : (j + 1) * dsub]
+                bj = books[j]
+                codes[:, j] = (
+                    (bj * bj).sum(axis=1)[None, :] - 2.0 * (rj @ bj.T)
+                ).argmin(axis=1)
+            pdf["_list"] = lists.astype("int32")
+            pdf["_codes"] = [list(map(int, c)) for c in codes]
+            yield pdf
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def pq_index_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    coarse_iters: int = 2,
+    pq_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVFADC index: list-partitioned parquet carrying the
+    m-byte-scale ``_codes`` column beside the full vector (the exact
+    re-rank fetches vectors ONLY for the top-R — column pruning keeps the
+    ADC scan at O(m) bytes/row). Returns (centroids, codebooks)."""
+    cents = kmeans_centroids(df, n_centroids, coarse_iters, vec_col, id_col)
+    books = pq_train(df, cents, m=m, ksub=ksub, iters=pq_iters,
+                     vec_col=vec_col, id_col=id_col)
+    pq_encode(df, cents, books, vec_col).write.mode("overwrite").partitionBy(
+        "_list"
+    ).parquet(path)
+    return cents, books
+
+
+def pq_topk(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC probe: per probed list, the asymmetric distance table
+    T[j][code] = ‖(q − c_list)_j − codebook[j][code]‖² is computed
+    driver-side (m×ksub×nprobe floats) and broadcast; the scan reads ONLY
+    (id, _list, _codes) of the probed partitions, sums m table lookups per
+    candidate (numpy fancy-indexing per Arrow batch), takes the ADC top-
+    ``rerank``, then exactly re-ranks those by true cosine against the
+    fetched full vectors. Output schema matches :func:`cosine_topk`."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    probe = _nearest_lists(centroids, list(q), nprobe)
+    tables = {}
+    for li in probe:
+        qr = q - cents[li]
+        t = np.empty((m, ksub))
+        for j in range(m):
+            diff = qr[j * dsub : (j + 1) * dsub][None, :] - books[j]
+            t[j] = (diff * diff).sum(axis=1)
+        tables[li] = t
+
+    scan = (
+        spark.read.parquet(path)
+        .filter(F.col("_list").isin(probe))
+        .select(id_col, "_list", "_codes")  # column-pruned ADC scan
+    )
+    adc_schema = T.StructType(
+        [
+            T.StructField(id_col, scan.schema[id_col].dataType, True),
+            T.StructField("_adc", T.DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(pdf["_codes"].tolist(), dtype=np.int64)
+            lists = pdf["_list"].to_numpy()
+            dist = np.empty(len(pdf))
+            for li in np.unique(lists):
+                sel = lists == li
+                t = tables[int(li)]
+                dist[sel] = t[np.arange(m)[None, :], codes[sel]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "_adc": dist})
+
+    cand = (
+        scan.mapInPandas(adc, schema=adc_schema)
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    full = spark.read.parquet(path).filter(F.col("_list").isin(probe))
+    shortlist = full.join(F.broadcast(cand), on=id_col, how="left_semi")
+    return cosine_topk(shortlist, list(q), k=k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,
