@@ -135,7 +135,7 @@ def cmd_relay(args) -> int:
     applied window re-apply idempotently (equal ``_ver`` loses LWW)."""
     import os
 
-    from data_sync_spark.lake import LakeTable, feed_to_events
+    from data_sync_spark.lake import LakeTable, apply_chunk_ddl, feed_to_events
     from data_sync_spark.metrics import MetricsSink
     from data_sync_spark.streaming.runner import apply_batch
 
@@ -153,7 +153,12 @@ def cmd_relay(args) -> int:
     )
     recs = []
     for to, name in chunks:
-        feed = spark.read.parquet(os.path.join(args.feed, name))
+        chunk_dir = os.path.join(args.feed, name)
+        # upstream rename/widen commits ride the chunk as a _ddl.json
+        # sidecar: apply them BEFORE the merge so a renamed column keeps
+        # its identity downstream instead of auto-evolving as a new one
+        apply_chunk_ddl(table, chunk_dir)
+        feed = spark.read.parquet(chunk_dir)
         recs.append(
             apply_batch(
                 table, feed_to_events(feed), to, cfg, app_id=args.app_id,

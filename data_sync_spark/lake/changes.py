@@ -52,6 +52,7 @@ engine's sink feed another's source.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
@@ -537,8 +538,18 @@ class ChangeFeedPublisher:
             # app-state commit; leave the ledger alone — re-inspecting the
             # summaries next poll is cheap and commits nothing.
             return None
-        rec = {"from_version": frm, "to_version": to, "rows": 0, "path": None}
-        if net_files or not incremental:
+        # DDL inside the window (rename/widen are metadata-only upstream)
+        # must travel WITH the data: a consumer that only auto-evolves on
+        # columns would treat a renamed column as a brand-new one and
+        # silently diverge on every row it doesn't rewrite. summaries are
+        # newest-first; emit oldest-first so replays apply in commit order.
+        ddl = [
+            s for s in reversed(summaries)
+            if s.get("operation") in ("rename-column", "widen-column")
+        ]
+        rec = {"from_version": frm, "to_version": to, "rows": 0, "path": None,
+               "ddl": len(ddl)}
+        if net_files or not incremental or ddl:
             feed = read_changes(
                 self.table, frm, to, include_internal=True,
                 classify=self.classify,
@@ -550,6 +561,11 @@ class ChangeFeedPublisher:
                 feed.write.mode("overwrite").parquet(chunk)
                 rec["path"] = chunk
                 rec["rows"] = self.table.spark.read.parquet(chunk).count()
+                if ddl:
+                    # '_'-prefixed files are invisible to parquet readers,
+                    # so the sidecar rides inside the chunk dir itself
+                    with open(os.path.join(chunk, "_ddl.json"), "w") as f:
+                        json.dump(ddl, f)
             finally:
                 # the classified incremental path persists a window-resolve
                 # DataFrame (advisor r5: a long-running relay leaked one
@@ -584,6 +600,43 @@ class ChangeFeedPublisher:
         }
         self.table.set_app_state(self.app_id, published_version=to)
         return rec
+
+
+def apply_chunk_ddl(table, chunk_dir: str) -> list[dict]:
+    """Apply a published chunk's ``_ddl.json`` sidecar (rename/widen
+    commits that happened inside the window upstream) to a downstream
+    table, in commit order, idempotently: a rename whose ``from`` is gone
+    and whose ``to`` exists is a replay and is skipped; a widen of an
+    already-wider column is skipped; a widen of a column the consumer has
+    never seen is skipped (the next merge auto-evolves it wide). Returns
+    the ops actually applied."""
+    path = os.path.join(chunk_dir, "_ddl.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        ops = json.load(f)
+    applied = []
+    for op in ops:
+        names = {f.name for f in table.schema.fields}
+        if op.get("operation") == "rename-column":
+            if op["from"] in names and op["to"] not in names:
+                table.rename_column(op["from"], op["to"])
+                applied.append(op)
+        elif op.get("operation") == "widen-column":
+            col = op.get("column")
+            if col not in names:
+                continue
+            try:
+                new_type = T._parse_datatype_string(op["to"])
+            except Exception:
+                continue
+            if table.schema[col].dataType != new_type:
+                try:
+                    table.widen_column(col, new_type)
+                    applied.append(op)
+                except ValueError:
+                    pass  # replayed op against an already-wider column
+    return applied
 
 
 def _project(

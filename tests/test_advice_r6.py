@@ -155,3 +155,54 @@ def test_cli_relay_lands_midstream_evolution(spark, tmp_path, capsys):
         "--table", str(tmp_path / "b"), "--buckets", "4",
     ]) == 0
     assert LakeTable.load(spark, str(tmp_path / "b")).current()["version"] == v
+
+
+def test_cli_relay_propagates_rename_and_widen(spark, tmp_path, capsys):
+    """Upstream rename/widen commits must travel through the publisher→
+    relay chain (r6 `_ddl.json` sidecar): without propagation, a consumer
+    that only auto-evolves on columns would treat the renamed column as a
+    brand-new one and silently diverge on every row it doesn't rewrite."""
+    from pyspark.sql import types as T
+
+    from data_sync_spark.cli import main
+    from data_sync_spark.lake import ChangeFeedPublisher
+
+    events = change_feed(spark, 2_000, n_keys=150, seed=47)
+    cfg = PipelineConfig()
+    a = LakeTable.create(spark, str(tmp_path / "a"), TARGET_SCHEMA, n_buckets=4)
+    pub = ChangeFeedPublisher(a, str(tmp_path / "out"))
+    pre = events.filter(F.col("log_offset") < 1000)
+    a.merge(net_changes(pre, cfg, a.schema), app_id="s", batch_id=0, mor=True)
+    rec0 = pub.publish_pending()
+    assert rec0["ddl"] == 0
+
+    a.widen_column("n_tok", T.LongType())
+    a.rename_column("source", "origin")
+    post = events.filter(F.col("log_offset") >= 1000).withColumnRenamed(
+        "source", "origin"
+    )
+    a.merge(net_changes(post, cfg, a.schema), app_id="s", batch_id=1, mor=True)
+    rec1 = pub.publish_pending()
+    assert rec1["ddl"] == 2  # widen + rename rode the chunk sidecar
+
+    assert main([
+        "relay", "--feed", str(tmp_path / "out"),
+        "--table", str(tmp_path / "b"), "--buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    b = LakeTable.load(spark, str(tmp_path / "b"))
+    bcols = [f.name for f in b.schema.fields]
+    assert "origin" in bcols and "source" not in bcols, bcols
+    assert b.schema["n_tok"].dataType == T.LongType()
+    av = a.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    bv = b.read().toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(av.doc_id) == list(bv.doc_id)
+    # identity preserved: pre-rename rows' values live under the NEW name
+    assert list(av.origin) == list(bv.origin)
+    assert list(av.n_tok) == list(bv.n_tok)
+
+    # idempotent: replaying the same chunks applies no further DDL
+    from data_sync_spark.lake import apply_chunk_ddl
+
+    chunk = rec1["path"]
+    assert apply_chunk_ddl(b, chunk) == []
