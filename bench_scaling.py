@@ -212,6 +212,14 @@ def main() -> int:
             "(paired ratios cancel host-load drift); median AND floor "
             "estimators from the paired ratios of ONE pass"
         ),
+        "replay_config": (
+            "steady-state merge throughput: auto-compaction deferred past "
+            "the window (threshold > n_batches) because one full-table COW "
+            "rewrite per 8 bench batches overstates production compaction "
+            "cadence by the batch-size ratio (~500x at 10^10-event "
+            "batches); per-batch wall times recorded in levels.*.runs for "
+            "audit — no batch may dwarf its siblings"
+        ),
         "levels": {str(c): results[c] for c in levels},
         "pairs": pairs_out,
     }

@@ -33,14 +33,16 @@ Two physical strategies, chosen per window:
   app-state / add-column commits inside the window are state-invariant and
   skipped; their de-registered delta files remain on disk until
   ``expire_snapshots``, so the window read stays valid.
-* **Snapshot diff (fallback)** — a COW merge inside the window folds net
-  rows into whole-bucket rewrites (its commit does not isolate them), so
-  the feed falls back to a full-outer join of the two snapshot reads keyed
-  on ``_ver`` inequality. Correct for every window; O(table) cost. A bucket
-  RESCALE no longer forces this fallback: it is state-invariant, and net
-  files keep the bucket ids of their own commit's layout, mapped into the
-  from-snapshot's layout for pruning (``_map_buckets_to_layout`` — exact
-  for power-of-two rescales).
+* **Snapshot diff (fallback)** — a full-outer join of the two snapshot
+  reads keyed on ``_ver`` inequality. Correct for every window; O(table)
+  cost. Since r6 NOTHING in normal operation forces it: a bucket RESCALE
+  is state-invariant (net files keep the bucket ids of their own commit's
+  layout, mapped into the from-snapshot's layout for pruning —
+  ``_map_buckets_to_layout``, exact for power-of-two rescales), and a COW
+  merge side-writes its APPLIED net rows (changed + new, applied
+  ``_ver``/``_op``) registered in the commit summary (``net_files``), so
+  COW windows read incrementally too. The fallback remains for windows
+  containing LEGACY (pre-r6) COW commits or unknown operations.
 
 Both strategies emit byte-identical feeds (pinned by
 ``tests/test_changes.py`` across random replay schedules).
@@ -142,6 +144,16 @@ def _window_commits(table, from_version: int, to_manifest: dict):
                 added = [p for p in entry.get(kind, []) if p not in before]
                 if added:
                     net_files.setdefault(int(b), []).extend(added)
+                    net_layouts.add((n_at, int(b)))
+        elif op == "merge-cow" and "net_files" in (child.get("summary") or {}):
+            # r6: the COW merge side-writes its APPLIED net rows (changed +
+            # new, applied _ver/_op) and registers them in the summary, so
+            # a COW window no longer forces the O(table) snapshot diff;
+            # legacy COW commits (no net_files) still fall through below
+            n_at = int(child["n_buckets"])
+            for b, ps in child["summary"]["net_files"].items():
+                if ps:
+                    net_files.setdefault(int(b), []).extend(ps)
                     net_layouts.add((n_at, int(b)))
         elif op == "rescale":
             # state-invariant for the feed: every row is rewritten with its

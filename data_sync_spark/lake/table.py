@@ -457,9 +457,10 @@ class LakeTable:
         O(window) path over MOR delta files with bucket-pruned
         classification (``classify=False``: raw upsert/delete feed, zero
         table scan; ``include_preimage``: ``_pre`` struct for incremental
-        view maintenance); snapshot-diff fallback when a COW merge sits in
-        the window (a rescale stays incremental via cross-layout bucket
-        mapping). See :mod:`data_sync_spark.lake.changes`."""
+        view maintenance). Incremental across rescales (cross-layout
+        bucket mapping) AND COW merges (summary-referenced applied-net
+        side files); the snapshot-diff fallback remains only for legacy
+        pre-r6 COW commits. See :mod:`data_sync_spark.lake.changes`."""
         from data_sync_spark.lake.changes import read_changes as _rc
 
         return _rc(
@@ -1188,6 +1189,11 @@ class LakeTable:
             for e in m["files"].values():
                 refs.update(e.get("base", []))
                 refs.update(e.get("delta", []))
+            # COW commits reference their applied-net side files (the
+            # change-feed source) from the SUMMARY, not files{} — a
+            # retained manifest must keep them readable for window scans
+            for ps in (m.get("summary") or {}).get("net_files", {}).values():
+                refs.update(ps)
             if version < keep_from:
                 self.backend.delete_manifest(self.path, version)
                 removed_manifests += 1
@@ -1324,6 +1330,10 @@ class LakeTable:
                 .when(takes_change, F.lit("set"))
                 .otherwise(F.col("_t_op"))
                 .alias(_OP),
+                # _chg marks rows whose APPLIED state this merge changed —
+                # exactly the rows the change feed must see (stale replays
+                # and append-mode skips excluded by construction)
+                (takes_change | becomes_tombstone).alias("_chg"),
             )
             # Keys never seen in the target: the semi scan below reads ONLY
             # the key column of the affected-bucket files (column pruning)
@@ -1353,7 +1363,7 @@ class LakeTable:
             marker = (
                 self._conform(kept, phys)
                 .withColumn("_from", F.lit("kept"))
-                .unionByName(resolved.withColumn("_from", F.lit("resolved")))
+                .unionByName(resolved.drop("_chg").withColumn("_from", F.lit("resolved")))
                 .unionByName(new_rows.withColumn("_from", F.lit("new")))
             )
             out = (
@@ -1377,6 +1387,22 @@ class LakeTable:
                 out, version, "s", pmap=manifest.get("column_physical")
             )
             got = _safe_obs(obs, {"rows_out": 0, "kept": 0, "resolved": 0, "new": 0})
+            # Side-write the APPLIED net rows (changed + new, with their
+            # applied _ver/_op) in MOR-delta row shape, registered in the
+            # commit SUMMARY (never in files{} — readers must not resolve
+            # them): this is what keeps the change feed incremental across
+            # a COW window instead of falling back to the O(table) snapshot
+            # diff. Cost: one extra O(net) write + a recompute of the
+            # matched join (the state rewrite itself is not duplicated).
+            side_net = (
+                resolved.filter(F.col("_chg"))
+                .drop("_chg")
+                .unionByName(new_rows)
+                .withColumn(_BUCKET, bucket_expr(manifest["n_buckets"], key_col))
+            )
+            net_side_files = self._write_bucket_files(
+                side_net, version, "n", pmap=manifest.get("column_physical")
+            )
 
             # COW REPLACES the affected buckets' files, so it only commutes
             # with commits to OTHER buckets. Rebase over those; if a
@@ -1420,6 +1446,9 @@ class LakeTable:
                         "net_rows": net_rows,
                         "affected_buckets": affected,
                         "rows_out": got["rows_out"],
+                        # applied-net side files (change-feed source): keyed
+                        # here, NOT in files{} — see side_net above
+                        "net_files": net_side_files,
                         **(extra_summary or {}),
                     },
                 }

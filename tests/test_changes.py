@@ -233,22 +233,52 @@ def test_changes_window_spanning_rescale(spark, tmp_path, new_buckets):
     assert len(raw_pdf) > 0
 
 
-def test_changes_cow_window_falls_back(spark, tmp_path):
-    """Append-mode batches merge via COW — the incremental strategy must
-    refuse, auto must fall back to the snapshot diff and stay correct."""
+def test_changes_cow_window_stays_incremental(spark, tmp_path):
+    """Append-mode batches merge via COW. Since r6 the COW merge
+    side-writes its APPLIED net rows (changed + new, applied _ver/_op,
+    summary-referenced), so a COW window reads incrementally — O(net),
+    no snapshot diff — and must equal both the diff strategy and the
+    oracle. Stale/skipped append-mode outcomes must stay invisible."""
     events = change_feed(spark, 3_000, n_keys=200, seed=13)
     events_pdf = events.toPandas()
     cfg = PipelineConfig(default_upsert=False)
     table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
     _merge_batches(table, events, cfg, [(0, 1500), (1500, 3000)], mor=False)
-    v1_events = events_pdf[events_pdf.log_offset < 1500]
     v1 = table.history()[1]["version"]  # version after batch 0
+    feed_inc = _feed_pdf(table.read_changes(v1, strategy="incremental"))
+    feed_auto = _feed_pdf(table.read_changes(v1))
+    feed_diff = _feed_pdf(table.read_changes(v1, strategy="diff"))
+    exp = expected_feed(events_pdf, 1500, cfg)
+    assert_feed_equal(feed_inc, exp, msg="[cow-incremental]")
+    assert_feed_equal(feed_auto, exp, msg="[cow-auto]")
+    assert_feed_equal(feed_diff, exp, msg="[cow-diff]")
+
+
+def test_changes_legacy_cow_window_falls_back(spark, tmp_path):
+    """A pre-r6 COW commit (no summary net_files) still forces the
+    snapshot-diff fallback: incremental refuses, auto degrades and stays
+    correct."""
+    import json as _json
+
+    events = change_feed(spark, 3_000, n_keys=200, seed=13)
+    events_pdf = events.toPandas()
+    cfg = PipelineConfig(default_upsert=False)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TARGET_SCHEMA, n_buckets=4)
+    _merge_batches(table, events, cfg, [(0, 1500), (1500, 3000)], mor=False)
+    v1 = table.history()[1]["version"]
+    # doctor the COW commit back to the legacy shape (no net_files)
+    v2 = table.current()["version"]
+    mpath = str(tmp_path / "t" / "_manifests" / f"v{v2:08d}.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    assert m["summary"].pop("net_files", None) is not None
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
     with pytest.raises(ValueError, match="COW merge"):
         table.read_changes(v1, strategy="incremental")
     feed = _feed_pdf(table.read_changes(v1))  # auto → diff
     exp = expected_feed(events_pdf, 1500, cfg)
-    assert_feed_equal(feed, exp, msg="[cow-fallback]")
-    del v1_events
+    assert_feed_equal(feed, exp, msg="[legacy-cow-fallback]")
 
 
 def test_changes_schema_evolution_in_window(spark, tmp_path):
