@@ -144,6 +144,16 @@ def main() -> int:
         # = ratio_hi/ratio_lo exactly when ratios are paired.
         paired_med = hi["paired_ratio_median"] / lo["paired_ratio_median"]
         paired_floor = hi["paired_ratio_best"] / lo["paired_ratio_best"]
+        # Unpaired twin (median-of-calibs denominator): robust to steal
+        # BURSTS shorter than the bracket span, which the paired ratios
+        # amplify (an r6 pass read >1.0 — unphysical — from one burst-hit
+        # bracket). Paired is robust to SLOW drift, unpaired to bursts;
+        # the conservative headline takes the min of the two so a single
+        # pass can never overstate the rule on either failure mode.
+        unpaired_med = speedup / calib_speedup
+        unpaired_floor = (
+            hi["events_per_sec_noise_floor"] / lo["events_per_sec_noise_floor"]
+        ) / (hi["calib_tput_best"] / lo["calib_tput_best"])
         pair = {
             "pair": f"local[{n}] -> local[{n4}]",
             "factor": factor,
@@ -153,9 +163,14 @@ def main() -> int:
             "raw_efficiency": round(speedup / factor, 3),
             "calib_speedup": round(calib_speedup, 3),
             "calib_efficiency": round(calib_speedup / factor, 3),
-            "normalized_efficiency": round(paired_med, 3),
-            "normalized_efficiency_floor": round(paired_floor, 3),
-            "unpaired_normalized_efficiency": round(speedup / calib_speedup, 3),
+            "normalized_efficiency": round(min(paired_med, unpaired_med), 3),
+            "normalized_efficiency_floor": round(
+                min(paired_floor, unpaired_floor), 3
+            ),
+            "paired_normalized_efficiency": round(paired_med, 3),
+            "paired_normalized_efficiency_floor": round(paired_floor, 3),
+            "unpaired_normalized_efficiency": round(unpaired_med, 3),
+            "unpaired_normalized_efficiency_floor": round(unpaired_floor, 3),
         }
         # Engine-only view: per-batch apply_batch wall (Σ from the metrics
         # JSONL) excludes Structured Streaming epoch overhead — the
