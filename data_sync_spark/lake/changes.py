@@ -66,6 +66,7 @@ from data_sync_spark.lake.table import (
     _OP,
     _VER,
     _VER_TYPE,
+    _WIDEN_OK,
     _delta_schema,
     _resolve,
 )
@@ -591,7 +592,8 @@ class ChangeFeedPublisher:
         return rec
 
     def _publish_snapshot(self, to: int) -> dict:
-        schema = T.StructType.fromJson(self.table._read_manifest(to)["schema"])
+        manifest = self.table._read_manifest(to)
+        schema = T.StructType.fromJson(manifest["schema"])
         keys = as_key_cols(self.table.key_col)
         payload = [f for f in schema.fields if f.name not in keys]
         snap = self.table.read(
@@ -603,12 +605,30 @@ class ChangeFeedPublisher:
         out = _project(snap, keys, payload, include_internal=True)
         chunk = os.path.join(self.out_dir, f"changes_snapshot_{to:08d}")
         out.write.mode("overwrite").parquet(chunk)
+        # The expired window may contain renames the consumer never saw —
+        # without a sidecar the relay would auto-evolve the NEW name as a
+        # brand-new column and null-fill the old one (silent divergence,
+        # advice r6). Rename HISTORY is unrecoverable (the very expiry that
+        # forced this snapshot erased it), but the schema identity survives
+        # in the manifest: ship the current logical schema plus the
+        # logical→physical (birth-name) map so ``apply_chunk_ddl`` can
+        # reconcile the consumer's columns by birth name before the merge.
+        with open(os.path.join(chunk, "_ddl.json"), "w") as f:
+            json.dump(
+                [{
+                    "operation": "snapshot-schema",
+                    "schema": manifest["schema"],
+                    "column_physical": manifest.get("column_physical") or {},
+                }],
+                f,
+            )
         rec = {
             "from_version": None,
             "to_version": to,
             "snapshot": True,
             "path": chunk,
             "rows": self.table.spark.read.parquet(chunk).count(),
+            "ddl": 1,
         }
         self.table.set_app_state(self.app_id, published_version=to)
         return rec
@@ -619,9 +639,19 @@ def apply_chunk_ddl(table, chunk_dir: str) -> list[dict]:
     commits that happened inside the window upstream) to a downstream
     table, in commit order, idempotently: a rename whose ``from`` is gone
     and whose ``to`` exists is a replay and is skipped; a widen of an
-    already-wider column is skipped; a widen of a column the consumer has
-    never seen is skipped (the next merge auto-evolves it wide). Returns
-    the ops actually applied."""
+    already-wider column is skipped (checked explicitly against the
+    ``_WIDEN_OK`` lattice — any OTHER refusal means the consumer's column
+    drifted to an incompatible type and raises instead of silently
+    diverging, advice r6); a widen of a column the consumer has never seen
+    is skipped (the next merge auto-evolves it wide). Snapshot (rebase)
+    chunks carry a ``snapshot-schema`` op instead of the unrecoverable
+    per-commit history: the upstream logical schema plus its
+    logical→physical birth-name map; columns are reconciled by birth name
+    (a consumer column sitting at the upstream column's birth name is the
+    same column pre-rename → rename it; so is a consumer column whose OWN
+    physical name matches, covering a consumer that applied an earlier
+    sidecar rename and then missed one). Returns the ops actually
+    applied."""
     path = os.path.join(chunk_dir, "_ddl.json")
     if not os.path.exists(path):
         return []
@@ -642,12 +672,58 @@ def apply_chunk_ddl(table, chunk_dir: str) -> list[dict]:
                 new_type = T._parse_datatype_string(op["to"])
             except Exception:
                 continue
-            if table.schema[col].dataType != new_type:
-                try:
-                    table.widen_column(col, new_type)
-                    applied.append(op)
-                except ValueError:
-                    pass  # replayed op against an already-wider column
+            cur = table.schema[col].dataType
+            if cur == new_type:
+                continue  # replayed op, already applied
+            if cur.typeName() in _WIDEN_OK.get(new_type.typeName(), ()):
+                continue  # already WIDER than the op's target: benign replay
+            # narrower (lattice-reachable) → widen; incompatible drift
+            # (string/long-vs-double/…) → widen_column raises ValueError,
+            # surfacing the divergence instead of swallowing it
+            table.widen_column(col, new_type)
+            applied.append(op)
+        elif op.get("operation") == "snapshot-schema":
+            applied += _reconcile_snapshot_schema(table, op)
+    return applied
+
+
+def _reconcile_snapshot_schema(table, op: dict) -> list[dict]:
+    """Reconcile a consumer table's columns against an upstream
+    ``snapshot-schema`` sidecar (see :func:`apply_chunk_ddl`). Emits the
+    equivalent rename/widen ops it applied."""
+    up_schema = T.StructType.fromJson(op["schema"])
+    up_pmap = op.get("column_physical") or {}
+    applied = []
+    for uf in up_schema.fields:
+        names = {f.name for f in table.schema.fields}
+        if uf.name not in names:
+            birth = up_pmap.get(uf.name, uf.name)
+            # consumer column at the upstream birth name, or one whose own
+            # physical (birth) name matches — same column, pre-rename
+            down_pmap = table.current().get("column_physical") or {}
+            cand = [
+                n for n in names
+                if n == birth or down_pmap.get(n, n) == birth
+            ]
+            if len(cand) == 1:
+                table.rename_column(cand[0], uf.name)
+                applied.append(
+                    {"operation": "rename-column",
+                     "from": cand[0], "to": uf.name}
+                )
+            else:
+                # genuinely new column (or ambiguous): leave it — the next
+                # merge auto-evolves it
+                continue
+        cur = table.schema[uf.name].dataType
+        if cur != uf.dataType and uf.dataType.typeName() in _WIDEN_OK.get(
+            cur.typeName(), ()
+        ):
+            table.widen_column(uf.name, uf.dataType)
+            applied.append(
+                {"operation": "widen-column", "column": uf.name,
+                 "from": cur.simpleString(), "to": uf.dataType.simpleString()}
+            )
     return applied
 
 

@@ -775,8 +775,31 @@ class LakeTable:
             key_col = manifest.get("key_col", KEY_COL)
             n_buckets = manifest["n_buckets"]
 
+            # A net batch may carry PRE-RENAME column names (events emitted
+            # before a rename, or a rename that lands concurrently and
+            # forces this recompute): a payload/key name matching a
+            # physical name still OWNED by a renamed column is that same
+            # column — remap it to the current logical name instead of
+            # letting auto-evolve resurrect it (held physical names are
+            # never current logical names, so the mapping is unambiguous).
+            net_in = net0
+            payload_struct: T.StructType = net_in.schema["m_val"].dataType
+            pmap = manifest.get("column_physical") or {}
+            if pmap:
+                owner = {p: l for l, p in pmap.items()}
+                stale = {
+                    n: owner[n]
+                    for n in (
+                        {f.name for f in payload_struct.fields}
+                        | (set(net_in.columns) - _MERGE_INTERNAL)
+                    )
+                    if n in owner
+                }
+                if stale:
+                    net_in = _remap_stale_names(net_in, stale)
+                    payload_struct = net_in.schema["m_val"].dataType
+
             evolved: list[str] = []
-            payload_struct: T.StructType = net0.schema["m_val"].dataType
             if auto_evolve:
                 known = {f.name for f in schema.fields}
                 new_fields = [f for f in payload_struct.fields if f.name not in known]
@@ -786,7 +809,7 @@ class LakeTable:
                         schema = schema.add(T.StructField(f.name, f.dataType, True))
                     evolved = [f.name for f in new_fields]
 
-            net = net0.withColumn(_BUCKET, bucket_expr(n_buckets, key_col)).withColumn(
+            net = net_in.withColumn(_BUCKET, bucket_expr(n_buckets, key_col)).withColumn(
                 _VER,
                 F.struct(
                     F.col("log_offset").cast("long").alias("off"),
@@ -885,6 +908,20 @@ class LakeTable:
                 raise ConcurrentWriteRetry(
                     "concurrent rescale invalidated MOR delta bucketing"
                 )
+            if _schema_drifted(m, manifest):
+                # a concurrent rename/mapping change landed between our
+                # snapshot and this commit: unioning our snapshot schema
+                # into m would resurrect the old logical name while the
+                # physical name now belongs to the renamed column — two
+                # logical fields over one physical column. Recompute.
+                raise ConcurrentWriteRetry(
+                    "concurrent schema change (rename/column-mapping) "
+                    "invalidated MOR merge schema"
+                )
+            if evolved:
+                # re-check auto-evolved names against the REBASED manifest,
+                # not the stale writer snapshot (advice r6)
+                _check_physical_collision(m, evolved)
             if batch_id is not None:
                 last = (m["apps"].get(app_id) or {}).get("last_batch_id")
                 if last is not None and batch_id <= int(last):
@@ -1417,6 +1454,16 @@ class LakeTable:
                     last = (m["apps"].get(app_id) or {}).get("last_batch_id")
                     if last is not None and batch_id <= int(last):
                         return None  # concurrent writer of this app applied it
+                if _schema_drifted(m, manifest):
+                    # concurrent rename/mapping change: unioning our snapshot
+                    # schema would resurrect the renamed column's old logical
+                    # name over its still-held physical name (advice r6)
+                    raise ConcurrentWriteRetry(
+                        "concurrent schema change (rename/column-mapping) "
+                        "invalidated COW merge schema"
+                    )
+                if evolved:
+                    _check_physical_collision(m, evolved)
                 if m["version"] != manifest["version"]:
                     for b in affected:
                         if m["files"].get(str(b)) != snap_files.get(str(b)):
@@ -1550,6 +1597,76 @@ def _is_missing_file_error(e: Exception, table_path: str | None = None) -> bool:
         if base and f"/{base}/data/" in s:
             return True
     return False
+
+
+# net-encoding column names that are NEVER table columns to be remapped
+_MERGE_INTERNAL = {"log_offset", "seq", "m_action", "m_val", "u_action", "u_val"}
+
+
+def _remap_stale_names(net: DataFrame, mapping: dict) -> DataFrame:
+    """Rename stale (pre-rename) column names in a net batch to their
+    current logical owners: top-level key columns and fields inside the
+    ``m_val``/``u_val`` payload structs. When the target name ALREADY
+    exists next to its stale twin (schema-conformance added a null
+    placeholder for the renamed column the events don't carry), the stale
+    value folds into it via coalesce. Null payloads (drop rows) stay
+    null."""
+    for old, new in mapping.items():
+        if old in net.columns:
+            if new in net.columns:
+                net = net.withColumn(
+                    new, F.coalesce(F.col(new), F.col(old))
+                ).drop(old)
+            else:
+                net = net.withColumnRenamed(old, new)
+    for c in ("m_val", "u_val"):
+        st = net.schema[c].dataType
+        if not isinstance(st, T.StructType):
+            continue
+        present = {f.name for f in st.fields}
+        hits = {o: n for o, n in mapping.items() if o in present}
+        if not hits:
+            continue
+        folded = {n: o for o, n in hits.items() if n in present}
+        cols = []
+        for f in st.fields:
+            if f.name in hits and hits[f.name] in present:
+                continue  # folded into its existing target below
+            if f.name in hits:
+                cols.append(F.col(f"{c}.{f.name}").alias(hits[f.name]))
+            elif f.name in folded:
+                cols.append(
+                    F.coalesce(
+                        F.col(f"{c}.{f.name}"),
+                        F.col(f"{c}.{folded[f.name]}").cast(f.dataType),
+                    ).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f"{c}.{f.name}"))
+        net = net.withColumn(
+            c, F.when(F.col(c).isNotNull(), F.struct(*cols))
+        )
+    return net
+
+
+def _schema_drifted(m: dict, snapshot: dict) -> bool:
+    """True when a concurrent schema-identity change (rename / column-
+    mapping edit) landed between a writer's ``snapshot`` and the rebased
+    manifest ``m`` — the one case where ``_union_schema(m, snapshot)`` is
+    unsound: a rename x→y leaves ``m`` without logical 'x' but with
+    ``column_physical={'y': 'x'}``, so the union would resurrect 'x' as a
+    NEW column whose physical name 'x' is still owned by 'y' — two logical
+    fields binding one physical column. Pure add-column (extra names in
+    ``m``) and widen (type change on a shared name, m's wider type wins the
+    union) still commute and return False."""
+    if (m.get("column_physical") or {}) != (snapshot.get("column_physical") or {}):
+        return True
+    m_names = {f["name"] for f in m["schema"]["fields"]}
+    snap_names = {f["name"] for f in snapshot["schema"]["fields"]}
+    # a logical name the writer knows that vanished from the current
+    # manifest was renamed-to-birth-name (pmap entry cleared) or otherwise
+    # removed — unioning it back would resurrect it
+    return bool(snap_names - m_names)
 
 
 def _check_physical_collision(manifest: dict, new_names: list[str]) -> None:
