@@ -43,6 +43,7 @@ import json
 import os
 import shutil
 import statistics
+import subprocess
 import sys
 import tempfile
 import time
@@ -868,6 +869,91 @@ def run_tok_bloom_bench(spark) -> dict:
     return out
 
 
+_AB_WORKER = r"""
+import os, sys, json
+sys.path.insert(0, os.environ["AB_REPO"])
+from data_sync_spark.session import get_spark
+from bench import run_replay_bench
+spark = get_spark("bench-ab")
+spark.range(1_000_000).selectExpr("sum(id)").collect()
+r = run_replay_bench(
+    spark,
+    int(os.environ["BENCH_EVENTS"]),
+    int(os.environ["BENCH_KEYS"]),
+    int(os.environ["BENCH_BATCHES"]),
+    runs=int(os.environ.get("BENCH_AB_RUNS", "3")),
+    warmup=1,
+)
+print("ABRESULT " + json.dumps({
+    "median": r["events_per_sec"],
+    "floor": r["events_per_sec_noise_floor"],
+    "runs": [x["events_per_sec"] for x in r["runs"]],
+}))
+"""
+
+
+def run_host_ab(n_events: int, n_keys: int, n_batches: int,
+                cur_median: float, cur_floor: float) -> dict | None:
+    """Standing host-drift vs code-regression separator (judge r6 #4):
+    re-measure the PREVIOUS round's pinned commit tonight, same host, in a
+    detached git worktree, immediately after the current headline — so a
+    round-over-round delta decomposes machine-readably into a code delta
+    (cur vs prev-tonight, same host weather) and host drift (prev-tonight
+    vs the number BENCH_r{N-1}.json recorded when that commit was its own
+    round's HEAD). Skip with BENCH_AB=0. Only the headline replay runs on
+    the prev commit (BENCH_AB_RUNS, default 3) — no side benches."""
+    if os.environ.get("BENCH_AB", "1") == "0":
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = None
+    try:
+        prev_commit = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-1", "--format=%H"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not prev_commit:
+            return None
+        wt = tempfile.mkdtemp(prefix="dss-ab-wt-")
+        os.rmdir(wt)
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, prev_commit],
+            cwd=repo, check=True, capture_output=True, timeout=120,
+        )
+        env = {**os.environ, "AB_REPO": wt,
+               "BENCH_EVENTS": str(n_events), "BENCH_KEYS": str(n_keys),
+               "BENCH_BATCHES": str(n_batches)}
+        out = subprocess.run(
+            [sys.executable, "-c", _AB_WORKER], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=3600,
+        )
+        prev = None
+        for ln in out.stdout.splitlines():
+            if ln.startswith("ABRESULT "):
+                prev = json.loads(ln[len("ABRESULT "):])
+        if prev is None:
+            print(f"# host A/B failed: {out.stdout[-500:]} {out.stderr[-500:]}",
+                  file=sys.stderr)
+            return {"prev_commit": prev_commit[:12], "error": "worker failed"}
+        return {
+            "prev_commit": prev_commit[:12],
+            "prev_median": prev["median"],
+            "prev_floor": prev["floor"],
+            "cur_median": cur_median,
+            "cur_floor": cur_floor,
+            "code_delta_pct": round(
+                (cur_median - prev["median"]) / prev["median"] * 100, 1
+            ),
+        }
+    except Exception as e:  # the A/B is evidence, never a bench failure
+        print(f"# host A/B skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+    finally:
+        if wt is not None:
+            subprocess.run(["git", "worktree", "remove", "--force", wt],
+                           cwd=repo, capture_output=True, timeout=60)
+            shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from data_sync_spark.session import get_spark
@@ -888,6 +974,11 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     replay = run_replay_bench(spark, n_events, n_keys, n_batches, runs, warmup)
+    # A/B immediately after (adjacent in time ⇒ same host weather)
+    host_ab = run_host_ab(
+        n_events, n_keys, n_batches,
+        replay["events_per_sec"], replay["events_per_sec_noise_floor"],
+    )
     queries, query_floors, query_runs = time_queries(spark, sf_dir, runs)
     ivf_c256 = None
     if os.environ.get("BENCH_IVF_C256", "1") != "0":
@@ -959,6 +1050,7 @@ def main() -> int:
         "replay_runs_evps": [r["events_per_sec"] for r in replay["runs"]],
         "bench_runs": runs,
         "warmup_replays": warmup,
+        "host_ab": host_ab,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(result, separators=(",", ":"))

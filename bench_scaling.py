@@ -25,12 +25,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 WORKER = r"""
 import os, sys, time, json, statistics, math
 sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
 from data_sync_spark.session import get_spark
 from bench import run_replay_bench
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
@@ -58,15 +60,46 @@ def _calib_job(rows):
     ).collect()
     return time.monotonic() - t0
 
+# Shuffle ceiling (judge r6 #1b): the replay is NOT pure compute — its
+# per-stage scaling tops out at the shared shuffle-I/O bandwidth, which a
+# pure-codegen ceiling cannot see (STAGES_r06: shuffle calibration scaled
+# 3.05x vs codegen 2.8-3.4x). One round-trip through a single exchange
+# (map-side combine groupBy, ~8 rows/key), same shape as the replay's
+# net-effect collapse.
+def _shuf_job(rows):
+    t0 = time.monotonic()
+    (
+        spark.range(0, rows, 1, cpus * 8)
+        .groupBy((F.col("id") % (rows // 8)).alias("k"))
+        .agg(F.max("id").alias("m"))
+        .selectExpr("sum(m)")
+        .collect()
+    )
+    return time.monotonic() - t0
+
 probe_rows = 32_000_000 * max(1, cpus)
 _calib_job(probe_rows)            # untimed: codegen cache + executor threads
 t_probe = _calib_job(probe_rows)  # sizing probe
 target_sec = float(os.environ.get("CALIB_TARGET_SEC", "10"))
 calib_rows = max(probe_rows, int(probe_rows / t_probe * target_sec))
+shuf_probe = 2_000_000 * max(1, cpus)
+_shuf_job(shuf_probe)             # untimed warmup
+t_shuf = _shuf_job(shuf_probe)
+shuf_target = float(os.environ.get("SHUF_TARGET_SEC", "6"))
+shuf_rows = max(shuf_probe, int(shuf_probe / t_shuf * shuf_target))
+
+calib_cg, calib_sh = [], []
 
 def calib():
-    dt = _calib_job(calib_rows)
-    return round(calib_rows / dt / 1e6, 3)  # Mrows/s
+    # Blended ceiling = geomean(codegen Mrows/s, shuffle Mrows/s): the
+    # cross-level ratio of the blend is the geomean of the two ceilings'
+    # ratios, so shared shuffle bandwidth is no longer invisible to the
+    # normalization. Components recorded alongside for audit.
+    cg = round(calib_rows / _calib_job(calib_rows) / 1e6, 3)
+    sh = round(shuf_rows / _shuf_job(shuf_rows) / 1e6, 3)
+    calib_cg.append(cg)
+    calib_sh.append(sh)
+    return round(math.sqrt(cg * sh), 3)
 
 c0 = calib()  # standalone run before the replay block (>=5 total)
 r = run_replay_bench(
@@ -86,6 +119,9 @@ ratios = [
 print("RESULT " + json.dumps({
     "cpus": cpus,
     "calib_rows": calib_rows,
+    "shuf_rows": shuf_rows,
+    "calib_codegen_mrows_s": calib_cg,
+    "calib_shuffle_mrows_s": calib_sh,
     "calib_tputs_mrows_s": calib_tputs,
     "calib_tput_median": round(statistics.median(calib_tputs), 3),
     "calib_tput_best": max(calib_tputs),
@@ -125,13 +161,74 @@ def main() -> int:
     args = ap.parse_args()
 
     levels = sorted({int(x) for p in args.pairs.split(",") for x in p.split(":")})
-    results = {}
-    for cpus in levels:
-        results[cpus] = run_level(cpus, args.events, args.keys, args.batches)
-        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
 
+    def measured_level(cpus: int, reruns: dict) -> dict:
+        """Run a level; if any bracket calibration is a burst outlier
+        (<0.6x the level's median — the r6 failure mode: a steal burst
+        depressed two 32-core brackets to 0.27x and made the paired
+        ratios unphysical), rerun the level once instead of shipping a
+        disclaimed number (judge r6 #1a)."""
+        res = None
+        for att in range(2):
+            res = run_level(cpus, args.events, args.keys, args.batches)
+            tputs = res["calib_tputs_mrows_s"]
+            med = statistics.median(tputs)
+            res["calib_burst"] = min(tputs) < 0.6 * med
+            reruns[str(cpus)] = att
+            if not res["calib_burst"]:
+                return res
+            print(
+                f"# local[{cpus}]: calibration burst (min {min(tputs)} < "
+                f"0.6×median {med}) — rerunning level",
+                file=sys.stderr,
+            )
+        return res
+
+    max_passes = int(os.environ.get("BENCH_SCALING_PASSES", "2"))
+    pass_log: list[dict] = []
+    for attempt in range(max_passes):
+        level_reruns: dict = {}
+        results = {}
+        for cpus in levels:
+            results[cpus] = measured_level(cpus, level_reruns)
+            print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+        pairs_out = compute_pairs(results, args.pairs)
+        span = max(pairs_out, key=lambda p: p["factor"])
+        # Pass-level backstop: paired and unpaired estimators have
+        # complementary failure modes (slow drift vs bursts); when their
+        # MEDIANS disagree >20% the pass is measuring host weather, not
+        # the engine — rerun it rather than adjudicate in prose.
+        disagree = abs(
+            span["paired_normalized_efficiency"]
+            - span["unpaired_normalized_efficiency"]
+        ) / max(span["unpaired_normalized_efficiency"], 1e-9)
+        pass_log.append({
+            "attempt": attempt,
+            "level_calib_reruns": level_reruns,
+            "headline_paired": span["paired_normalized_efficiency"],
+            "headline_unpaired": span["unpaired_normalized_efficiency"],
+            "disagreement_pct": round(100 * disagree, 1),
+        })
+        if disagree <= 0.2:
+            break
+        print(
+            f"# paired/unpaired medians disagree {disagree:.0%} (>20%) — "
+            f"rerunning the whole pass",
+            file=sys.stderr,
+        )
+    burst_detector = {
+        "bracket_outlier_threshold": 0.6,
+        "paired_unpaired_disagreement_threshold_pct": 20,
+        "passes": pass_log,
+        "clean": pass_log[-1]["disagreement_pct"] <= 20.0
+        and not any(r["calib_burst"] for r in results.values()),
+    }
+    return finish(args, levels, results, pairs_out, burst_detector)
+
+
+def compute_pairs(results: dict, pairs_spec: str) -> list[dict]:
     pairs_out = []
-    for p in args.pairs.split(","):
+    for p in pairs_spec.split(","):
         n, n4 = (int(x) for x in p.split(":"))
         lo, hi = results[n], results[n4]
         factor = n4 / n
@@ -208,7 +305,10 @@ def main() -> int:
             }
         )
         pairs_out.append(pair)
+    return pairs_out
 
+
+def finish(args, levels, results, pairs_out, burst_detector) -> int:
     # headline = the widest span (most averaging over per-pair ceiling
     # noise); per-pair numbers stay recorded alongside
     span = max(pairs_out, key=lambda p: p["factor"])
@@ -221,12 +321,17 @@ def main() -> int:
         "headline_normalized_efficiency": span["normalized_efficiency"],
         "headline_normalized_efficiency_floor": span["normalized_efficiency_floor"],
         "calibration": (
-            ">=5 adaptively-sized ~10s pure-codegen ceiling runs per level, "
-            "interleaved with (bracketing) the replay runs; each replay run "
-            "normalized by the geomean of its two bracketing calibrations "
-            "(paired ratios cancel host-load drift); median AND floor "
-            "estimators from the paired ratios of ONE pass"
+            ">=5 blended ceiling runs per level — geomean of an "
+            "adaptively-sized ~10s pure-codegen job and a ~6s one-exchange "
+            "shuffle job (so shared shuffle-I/O bandwidth is part of the "
+            "ceiling, not invisible to it) — interleaved with (bracketing) "
+            "the replay runs; each replay run normalized by the geomean of "
+            "its two bracketing calibrations (paired ratios cancel "
+            "host-load drift); headline = min(paired, unpaired) estimators "
+            "so neither slow drift nor bursts can overstate the rule; "
+            "burst detector auto-reruns outlier levels/passes"
         ),
+        "burst_detector": burst_detector,
         "replay_config": (
             "steady-state merge throughput: auto-compaction deferred past "
             "the window (threshold > n_batches) because one full-table COW "
