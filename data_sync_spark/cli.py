@@ -265,6 +265,11 @@ def cmd_maintain(args) -> int:
 
     spark = _spark(args)
     table = LakeTable.load(spark, args.table)
+    if args.upgrade_feed:
+        from data_sync_spark.lake.changes import upgrade_legacy_cow_feed
+
+        print(json.dumps({"upgraded_versions": upgrade_legacy_cow_feed(table)}))
+        return 0
     if args.consolidate_only:
         consolidated = table.consolidate_deltas()
         print(json.dumps({"consolidated_buckets": consolidated}))
@@ -446,6 +451,12 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=None,
         help="age-based tombstone GC horizon (offset); requires source retention past it",
+    )
+    m.add_argument(
+        "--upgrade-feed",
+        action="store_true",
+        help="one-time backfill of applied-net side files for legacy "
+        "pre-r6 COW commits so every retained window reads incrementally",
     )
     m.set_defaults(fn=cmd_maintain)
 

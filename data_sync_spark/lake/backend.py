@@ -121,6 +121,24 @@ class LocalFSBackend:
         except FileNotFoundError:
             pass  # concurrent expire
 
+    def amend_manifest(
+        self, table_path: str, version: int, manifest: dict
+    ) -> None:
+        """In-place MONOTONE update of an already-committed manifest (only
+        use: backfilling ``summary.net_files`` onto a legacy COW commit —
+        semantically additive, so readers racing the amend see a valid
+        manifest either way). Never creates a version: amending an expired
+        manifest is an error, not a resurrection."""
+        path = self._mpath(table_path, version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"cannot amend missing manifest v{version}")
+        tmp = path + f".amend.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
 
 class InMemoryBackend:
     """Conditional-put fake of an object-store catalog: manifests live in a
@@ -189,6 +207,17 @@ class InMemoryBackend:
         s = self._store(table_path)
         with self._lock:
             s["manifests"].pop(version, None)
+
+    def amend_manifest(
+        self, table_path: str, version: int, manifest: dict
+    ) -> None:
+        s = self._store(table_path)
+        with self._lock:
+            if version not in s["manifests"]:
+                raise FileNotFoundError(
+                    f"cannot amend missing manifest v{version}"
+                )
+            s["manifests"][version] = json.dumps(manifest)
 
 
 class SimulatedObjectStore:
@@ -418,6 +447,27 @@ class ObjectStoreBackend:
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:].split(".")[0]))
         return sorted(out)
+
+    def amend_manifest(
+        self, table_path: str, version: int, manifest: dict
+    ) -> None:
+        key = self._mkey(table_path, version)
+        if self._get_retry(key) is None:
+            raise FileNotFoundError(f"cannot amend missing manifest v{version}")
+        data = json.dumps(manifest).encode()
+        last: Exception | None = None
+        for _ in range(self.max_attempts):
+            try:
+                # unconditional PUT: amends are idempotent (same bytes) and
+                # monotone (additive summary field) — last writer wins is
+                # safe; an ambiguous PUT self-heals on retry
+                self.store.put(key, data)
+                return
+            except TransientStoreError as e:
+                if self._get_retry(key) == data:
+                    return  # ambiguous write landed
+                last = e
+        raise last
 
     def delete_manifest(self, table_path: str, version: int) -> None:
         last: Exception | None = None
