@@ -45,6 +45,22 @@ def test_ambiguous_put_resolves_as_success():
         b.put_manifest_exclusive(T1, 1, {"version": 1, "who": "b"})
 
 
+def test_amend_manifest_faults_and_guards():
+    """amend_manifest (legacy-COW feed backfill): overwrites an existing
+    version in place, resolves an ambiguous PUT by content compare,
+    retries transients, and refuses to resurrect a missing version."""
+    b = _backend()
+    with pytest.raises(FileNotFoundError):
+        b.amend_manifest(T1, 1, {"version": 1})
+    b.put_manifest_exclusive(T1, 1, {"version": 1, "summary": {}})
+    b.store.inject_fault("put", mode="ambiguous")
+    b.amend_manifest(T1, 1, {"version": 1, "summary": {"net_files": {}}})
+    assert b.read_manifest(T1, 1)["summary"] == {"net_files": {}}
+    b.store.inject_fault("put", mode="transient", times=2)
+    b.amend_manifest(T1, 1, {"version": 1, "summary": {"net_files": {"0": []}}})
+    assert b.read_manifest(T1, 1)["summary"]["net_files"] == {"0": []}
+
+
 def test_transient_put_retries_then_succeeds():
     b = _backend()
     b.store.inject_fault("put", mode="transient", times=3)
