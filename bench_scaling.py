@@ -364,12 +364,13 @@ def finish(args, levels, results, pairs_out, burst_detector) -> int:
         )
     lines.append("")
     lines.append(
-        "Calibration = embarrassingly parallel pure-codegen job (no shuffle/IO/engine "
-        "code) in the same JVMs: the VM's achievable thread-scaling ceiling. Each run "
-        "is adaptively sized to ~10s and interleaved with (bracketing) the replay runs; "
-        "normalized eff = per-run paired ratio (replay tput / geomean of bracketing "
-        "ceiling tputs), compared across levels — median and min-time-floor estimators "
-        "from one pass."
+        "Calibration = geomean of an embarrassingly parallel pure-codegen job and a "
+        "one-exchange shuffle job in the same JVMs: the VM's achievable compute AND "
+        "shuffle-bandwidth scaling ceiling. Runs are adaptively sized (~10s/~6s) and "
+        "interleaved with (bracketing) the replay runs; normalized eff = "
+        "min(paired, unpaired) estimators — per-run paired ratios cancel slow host "
+        "drift, the unpaired twin resists bursts, and the burst detector auto-reruns "
+        "outlier levels/passes (burst_detector in the JSON artifact)."
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -58,9 +58,16 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # One shuffle partition per core locally; a real cluster would set
-        # this to ~2-3x total cores (AQE coalesces the excess anyway).
-        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        # 3 shuffle partitions per core (the same ~2-3x-total-cores rule a
+        # real cluster uses): with one task per core, any straggler — a GC
+        # pause, a skewed task, host steal — idles a core for the whole
+        # stage; finer tasks backfill. Measured on the 160M-event replay at
+        # local[32]: +13% sustained ev/s and a flatter per-batch profile
+        # vs one-per-core (round-7 probe). AQE coalesces the excess for
+        # small stages, with the 16m advisory below keeping enough
+        # granularity on mid-size shuffles to matter.
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 3 * cpus),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         # Arrow for pandas UDFs / toPandas (the only Python in the hot path).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic session timezone for reproducible fixtures.
