@@ -66,16 +66,37 @@ def _calib_job(rows):
 # 3.05x vs codegen 2.8-3.4x). One round-trip through a single exchange
 # (map-side combine groupBy, ~8 rows/key), same shape as the replay's
 # net-effect collapse.
+# Calibration jobs must measure the MACHINE, not the engine's session
+# tuning: pin their shuffle conf explicitly (r7: the first tuned pass
+# inherited the new 3x/core + 16m-advisory defaults into the shuffle
+# calibration, changing what "the ceiling" meant between passes).
+_CALIB_CONF = {
+    "spark.sql.shuffle.partitions": str(cpus),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+def _pinned(fn):
+    saved = {k: spark.conf.get(k) for k in _CALIB_CONF}
+    for k, v in _CALIB_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        return fn()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
 def _shuf_job(rows):
-    t0 = time.monotonic()
-    (
-        spark.range(0, rows, 1, cpus * 8)
-        .groupBy((F.col("id") % (rows // 8)).alias("k"))
-        .agg(F.max("id").alias("m"))
-        .selectExpr("sum(m)")
-        .collect()
-    )
-    return time.monotonic() - t0
+    def run():
+        t0 = time.monotonic()
+        (
+            spark.range(0, rows, 1, cpus * 8)
+            .groupBy((F.col("id") % (rows // 8)).alias("k"))
+            .agg(F.max("id").alias("m"))
+            .selectExpr("sum(m)")
+            .collect()
+        )
+        return time.monotonic() - t0
+    return _pinned(run)
 
 probe_rows = 32_000_000 * max(1, cpus)
 _calib_job(probe_rows)            # untimed: codegen cache + executor threads
@@ -85,7 +106,7 @@ calib_rows = max(probe_rows, int(probe_rows / t_probe * target_sec))
 shuf_probe = 2_000_000 * max(1, cpus)
 _shuf_job(shuf_probe)             # untimed warmup
 t_shuf = _shuf_job(shuf_probe)
-shuf_target = float(os.environ.get("SHUF_TARGET_SEC", "6"))
+shuf_target = float(os.environ.get("SHUF_TARGET_SEC", "10"))
 shuf_rows = max(shuf_probe, int(shuf_probe / t_shuf * shuf_target))
 
 calib_cg, calib_sh = [], []
@@ -202,25 +223,38 @@ def main() -> int:
             span["paired_normalized_efficiency"]
             - span["unpaired_normalized_efficiency"]
         ) / max(span["unpaired_normalized_efficiency"], 1e-9)
+        # Physicality: normalized efficiency is replay-scaling over the
+        # machine's own measured ceiling — nothing can exceed it. A median
+        # estimator >1.05 means the CEILING measurement was depressed (a
+        # burst hit the calibrations, not the replays — the r6 failure and
+        # the first tuned r7 pass both read >1.1 this way); rerun rather
+        # than record an unphysical number.
+        unphysical = (
+            span["paired_normalized_efficiency"] > 1.05
+            or span["unpaired_normalized_efficiency"] > 1.05
+        )
         pass_log.append({
             "attempt": attempt,
             "level_calib_reruns": level_reruns,
             "headline_paired": span["paired_normalized_efficiency"],
             "headline_unpaired": span["unpaired_normalized_efficiency"],
             "disagreement_pct": round(100 * disagree, 1),
+            "unphysical": unphysical,
         })
-        if disagree <= 0.2:
+        if disagree <= 0.2 and not unphysical:
             break
         print(
-            f"# paired/unpaired medians disagree {disagree:.0%} (>20%) — "
-            f"rerunning the whole pass",
+            f"# pass rejected (disagreement {disagree:.0%} / unphysical="
+            f"{unphysical}) — rerunning the whole pass",
             file=sys.stderr,
         )
     burst_detector = {
         "bracket_outlier_threshold": 0.6,
         "paired_unpaired_disagreement_threshold_pct": 20,
+        "unphysical_threshold": 1.05,
         "passes": pass_log,
         "clean": pass_log[-1]["disagreement_pct"] <= 20.0
+        and not pass_log[-1]["unphysical"]
         and not any(r["calib_burst"] for r in results.values()),
     }
     return finish(args, levels, results, pairs_out, burst_detector)
