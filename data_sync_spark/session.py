@@ -72,6 +72,20 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Deterministic session timezone for reproducible fixtures.
         "spark.sql.session.timeZone": "UTC",
+        # File-output committer algorithm v2: task outputs move to the
+        # final directory at TASK commit (parallel, on executors) instead
+        # of being renamed serially by the driver at JOB commit. Every MOR
+        # merge is a dynamic-partitioned parquet write of up to n_buckets
+        # directories, so v1's driver-serial rename tail (~1.3-1.6s/batch,
+        # STAGES_r05/r06) scales with file count while v2's does not.
+        # Measured (interleaved same-JVM A/B, 16M events / 4 batches / 3
+        # alternations, round 8): v1 median 914k ev/s vs v2 1,029k
+        # (+12.5%), v2 ahead in all three alternations; round 7's A/B saw
+        # +2.8% on a quieter host. v2's weaker crash story (partial task
+        # output visible on job failure) is irrelevant here: every write
+        # lands in a fresh uuid-suffixed generation dir that is invisible
+        # until the manifest commit references it.
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         # Small split size so local scans of modest feeds still fan out to
         # every core (default 128m bin-packs a ~500MB feed into ~5 scan
         # tasks). On a real cluster with TB-scale inputs the default is
