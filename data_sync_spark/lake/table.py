@@ -85,6 +85,20 @@ _OP = "_op"  # delta row op: 'set' | 'drop' (tombstone); base rows → 'set'
 BROADCAST_MAX_ROWS = 1_000_000
 # A bucket compacts once it accumulates this many delta file generations.
 DEFAULT_COMPACT_THRESHOLD = 8
+# Bucket writes whose input is ESTIMATED (Catalyst plan stats, the same
+# size-estimate machinery autoBroadcastJoinThreshold trusts) at or below
+# this many bytes skip the bucket repartition exchange and write aligned
+# to the upstream (net-agg) partitioning. Below this bound AQE's partition
+# coalescing (16m advisory) has already collapsed the agg output to ~1-2
+# partitions, so the aligned write produces the SAME ≤2 files per bucket
+# the keyed exchange would — it just saves one exchange + one AQE wave
+# (~0.2-0.3s per merge, measured round 8: 4 sf0.1 merges 4.0-5.1s keyed
+# vs 3.2-3.7s aligned). Above the bound the explicit exchange stays: at
+# production batch sizes aligned writes fan every agg partition into
+# every bucket directory (round-2 measurement: 32x more delta files,
+# -14% merge throughput, 4x read latency). Estimates err toward the safe
+# side — an unknown-stats plan reports huge and takes the keyed path.
+ALIGNED_WRITE_MAX_EST_BYTES = 32 * 1024 * 1024
 
 
 class CommitConflict(RuntimeError):
@@ -488,7 +502,8 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_bucket_files(
-        self, df: DataFrame, version: int, tag: str, pmap: dict | None = None
+        self, df: DataFrame, version: int, tag: str, pmap: dict | None = None,
+        force_keyed: bool = False,
     ) -> dict[str, list[str]]:
         """Write ``df`` (payload + _bucket col) under data/{tag}{version}_
         {uuid}/ and return {bucket: [relative file paths]}. The uuid suffix
@@ -503,13 +518,31 @@ class LakeTable:
         rel_dir = os.path.join("data", f"{tag}{version:08d}_{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        if getattr(self, "aligned_writes", False):
-            # Single-shuffle mode: reuse the upstream (net-agg) partitioning
-            # and only sort each task's rows by bucket so the dynamic-
-            # partition writer streams one file at a time. Saves the second
-            # exchange at the cost of ≤ shuffle-partitions files per bucket
-            # per batch (bounded by compaction).
+        # Maintenance writes (compact / consolidate / rescale) exist to
+        # CONSOLIDATE layout, so they always take the keyed exchange — an
+        # aligned compaction of an append-only bucket would re-emit one
+        # file per input partition and consolidate nothing.
+        if not force_keyed and getattr(self, "aligned_writes", False):
+            # Opt-in single-shuffle mode for pre-bucketed feeds: reuse the
+            # upstream partitioning and only sort each task's rows by
+            # bucket so the dynamic-partition writer streams one file at a
+            # time. ≤ input-partitions files per bucket per batch (bounded
+            # by compaction).
             out = df.sortWithinPartitions(_BUCKET)
+        elif not force_keyed and _est_bytes(df) <= ALIGNED_WRITE_MAX_EST_BYTES:
+            # Estimate-small write: ONE task, no exchange. coalesce(1) —
+            # not sortWithinPartitions alone — because the input may hold
+            # many near-empty partitions AQE cannot coalesce (a persisted
+            # net cache pins its 96-partition shuffle layout), and an
+            # aligned write from those would emit one file per partition
+            # per bucket (measured round 8: the multi-route batch wrote
+            # ~740 files, tripped threshold auto-compaction every batch,
+            # 6.6s → 33s). coalesce folds the upstream stage to one task,
+            # which at ≤32 MB estimated input is at most ~0.3s of single-
+            # thread parquet encode and guarantees ≤1 file per bucket —
+            # the same layout the keyed exchange produces, minus the
+            # exchange and its AQE wave.
+            out = df.coalesce(1).sortWithinPartitions(_BUCKET)
         else:
             # Hash-partition on the bucket id (NOT repartitionByRange — range
             # partitioning samples its child, which would execute the
@@ -1037,7 +1070,8 @@ class LakeTable:
         version = manifest["version"] + 1
         try:
             new_files = self._write_bucket_files(
-                resolved, version, "c", pmap=manifest.get("column_physical")
+                resolved, version, "c", pmap=manifest.get("column_physical"),
+                force_keyed=True,
             )
         except Exception as e:
             if _is_missing_file_error(e, self.path):
@@ -1110,7 +1144,8 @@ class LakeTable:
         version = manifest["version"] + 1
         try:
             new_files = self._write_bucket_files(
-                resolved, version, "x", pmap=manifest.get("column_physical")
+                resolved, version, "x", pmap=manifest.get("column_physical"),
+                force_keyed=True,
             )
         except Exception as e:
             if _is_missing_file_error(e, self.path):
@@ -1168,7 +1203,7 @@ class LakeTable:
             ).withColumn(_BUCKET, bucket_expr(n_buckets, key_col))
             new_files = self._write_bucket_files(
                 rows, manifest["version"] + 1, "r",
-                pmap=manifest.get("column_physical"),
+                pmap=manifest.get("column_physical"), force_keyed=True,
             )
 
             def build(m: dict) -> dict:
@@ -1522,6 +1557,19 @@ class LakeTable:
             )
         finally:
             net.unpersist()
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate for ``df`` (bytes) — the same
+    statistic autoBroadcastJoinThreshold trusts. Driver-side only, no job.
+    Unknown/failed estimates report ``2**63`` so callers treat them as
+    huge (the conservative direction for layout decisions)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 63
 
 
 def _resolve(raw: DataFrame, dschema: T.StructType, keys: list[str]) -> DataFrame:

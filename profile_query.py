@@ -33,6 +33,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -57,7 +59,16 @@ def main() -> int:
     import glob
 
     jobs = {}
-    for path in glob.glob(os.path.join(log_dir, "*")):
+    paths = []
+    for p in glob.glob(os.path.join(log_dir, "*")):
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, f) for f in os.listdir(p) if "spark" in f.lower()
+                or f.startswith("events")
+            )
+        else:
+            paths.append(p)
+    for path in paths:
         with open(path) as f:
             for line in f:
                 try:
