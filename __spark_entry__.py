@@ -353,7 +353,16 @@ def _q_cdc_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_sync_spark.streaming.wire import parse_maxwell_composite
 
     _register(spark, sf_dir, names=("events",))
-    raw = spark.sql(MAXWELL_FRAMES_SQL)
+    # The events parquet is one row group, so the scan is one split and the
+    # whole to_json -> from_json round trip (the expensive step here, ~10x
+    # the cost of the arithmetic projections) would run in ONE task. A
+    # round-robin repartition below the JSON projection spreads it across
+    # the cores for the price of shuffling the few-MB raw rows; row order
+    # is irrelevant (LWW dedup keys on position/xid, both row-derived).
+    spark.table("events").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("events_mx")
+    raw = spark.sql(MAXWELL_FRAMES_SQL.replace("FROM events", "FROM events_mx"))
     events = parse_maxwell_composite(raw, ["tenant", "doc_id"])
     win = lww_collapse(events, key_col=["tenant", "doc_id"])
     return win.filter(F.col("op") != "delete").select(

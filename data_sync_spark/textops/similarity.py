@@ -636,11 +636,20 @@ def embedding_near_pairs(
         df, vec_col, bits, seeds=[7 + t for t in range(tables)], dims=dims
     )
     # one scan, tables exploded per row (no persist: the self-join shuffles
-    # the same child plan on both sides); cosine is verified in the join
-    # projection so the dedup shuffle carries scalars, not 64-dim vectors
+    # the same child plan on both sides). The vector NORM is computed here,
+    # once per vector BEFORE the explode/join — higher-order-function folds
+    # are interpreted per element, so the per-pair verification below must
+    # not re-fold each side's norm per candidate pair (round 8: moving the
+    # norm folds out of the pair projection cut the verify stage ~3x; the
+    # remaining per-pair work is the single dot-product fold).
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
     blocked = sigs.select(
         F.col(id_col),
         F.col(vec_col),
+        norm.alias("_nrm"),
         F.explode(
             F.array(
                 *[
@@ -652,14 +661,16 @@ def embedding_near_pairs(
             )
         ).alias("_b"),
     ).select(
-        id_col, vec_col, F.col("_b.tbl").alias("tbl"), F.col("_b.sig").alias("sig")
+        id_col, vec_col, "_nrm",
+        F.col("_b.tbl").alias("tbl"), F.col("_b.sig").alias("sig"),
     )
     # shuffle-hash join: same-child exchange reused, signatures once/vector
     blocked = blocked.hint("shuffle_hash")
     a, b = blocked.alias("a"), blocked.alias("b")
-    # dedup BEFORE the exact-cosine verification: the 64-dim fold is the
-    # expensive step, so it must run once per unique pair, not once per
-    # colliding table (and not twice more via filter-pushdown duplication)
+    # dedup BEFORE the exact-cosine verification: the interpreted dot-fold
+    # is the expensive per-pair step, so it must run once per unique pair,
+    # not once per colliding table (and not twice more via filter-pushdown
+    # duplication)
     cand = (
         a.join(
             b,
@@ -672,10 +683,24 @@ def embedding_near_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a._nrm").alias("na"),
+            F.col("b._nrm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = cand.withColumn("cos_sim", F.round(_cos("va", "vb"), 4))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # same zero-norm guard as _cos: 0/0 is NaN, which sorts above every
+    # double and would pass >= filters
+    out = cand.withColumn(
+        "cos_sim",
+        F.round(
+            F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))),
+            4,
+        ),
+    )
     return out.filter(
         F.col("cos_sim").isNotNull() & (F.col("cos_sim") >= threshold)
     ).select("id_a", "id_b", "cos_sim")
