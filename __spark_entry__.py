@@ -1059,7 +1059,9 @@ def _q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_sync_spark.textops.dedup import minhash_lsh_pairs
 
     _register(spark, sf_dir, names=("documents",))
-    d = spark.table("documents")
+    # single-row-group input: spread the shingle+minhash map work across
+    # cores (row order is irrelevant to the pair set)
+    d = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
     return minhash_lsh_pairs(d, k=8, bands=4, shingle_n=2, min_est_jaccard=0.25)
 
 
@@ -1072,7 +1074,9 @@ def _q_doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_sync_spark.textops.dedup import connected_components, minhash_lsh_pairs
 
     _register(spark, sf_dir, names=("documents",))
-    d = spark.table("documents")
+    # single-row-group input: spread the shingle+minhash map work (pair set
+    # and components are partitioning-independent)
+    d = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
     pairs = minhash_lsh_pairs(d, k=8, bands=4, shingle_n=2, min_est_jaccard=0.25)
     groups = connected_components(pairs)
     return groups.select(F.col("id_a").alias("doc_id"), "group_id")
@@ -1307,7 +1311,8 @@ def _q_tok_contam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register(spark, sf_dir, names=("documents",))
-    d = spark.table("documents")
+    # single-row-group input: parallelize the gram explode on both splits
+    d = spark.table("documents").repartition(spark.sparkContext.defaultParallelism)
     is_eval = split_expr("doc_id", eval_pct=20)
     out = ngram_contamination_bloom(
         d.filter(~is_eval),

@@ -519,9 +519,11 @@ class LakeTable:
         out_dir = os.path.join(self.path, rel_dir)
         shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         # Maintenance writes (compact / consolidate / rescale) exist to
-        # CONSOLIDATE layout, so they always take the keyed exchange — an
+        # CONSOLIDATE layout, so they must not take the aligned opt-in — an
         # aligned compaction of an append-only bucket would re-emit one
-        # file per input partition and consolidate nothing.
+        # file per input partition and consolidate nothing. The estimate-
+        # small coalesce(1) path below is still allowed for them: a single
+        # write task yields <=1 file per bucket, which consolidates.
         if not force_keyed and getattr(self, "aligned_writes", False):
             # Opt-in single-shuffle mode for pre-bucketed feeds: reuse the
             # upstream partitioning and only sort each task's rows by
@@ -529,7 +531,7 @@ class LakeTable:
             # time. ≤ input-partitions files per bucket per batch (bounded
             # by compaction).
             out = df.sortWithinPartitions(_BUCKET)
-        elif not force_keyed and _est_bytes(df) <= ALIGNED_WRITE_MAX_EST_BYTES:
+        elif _est_bytes(df) <= ALIGNED_WRITE_MAX_EST_BYTES:
             # Estimate-small write: ONE task, no exchange. coalesce(1) —
             # not sortWithinPartitions alone — because the input may hold
             # many near-empty partitions AQE cannot coalesce (a persisted
