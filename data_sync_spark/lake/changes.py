@@ -62,16 +62,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_sync_spark.lake.table import (
-    BROADCAST_MAX_ROWS,
     _BUCKET,
     _OP,
     _VER,
     _VER_TYPE,
     _WIDEN_OK,
     _delta_schema,
+    _est_bytes,
     _resolve,
     bucket_expr,
 )
+
+# Broadcast-or-shuffle cutoff for the classification semi-join, in
+# ESTIMATED bytes of the candidate keys projection — ~the same boundary the
+# old BROADCAST_MAX_ROWS row count drew (1M keys ≈ tens of MB framed), now
+# decidable at plan time with no eager count() action per feed read.
+CLASSIFY_BROADCAST_MAX_EST_BYTES = 64 * 1024 * 1024
 from data_sync_spark.schema import KEY_COL, as_key_cols
 
 CHANGE_TYPE = "change_type"
@@ -349,12 +355,17 @@ def read_changes(
         # classification join. Result: a narrow window classifies with ZERO
         # shuffle of table state. Wide windows (backfill-sized) keep the
         # plain shuffle join, which AQE can still skew-split.
-        # persist: the count below and the join would otherwise each run the
-        # window-file resolve; handle rides the result for callers to
-        # unpersist (same convention as tokens.exclusive_prefix_sum)
+        # persist: the semi-join broadcast build and the classification
+        # join would otherwise each run the window-file resolve; handle
+        # rides the result for callers to unpersist (same convention as
+        # tokens.exclusive_prefix_sum). The broadcast decision reads the
+        # PLAN-TIME size estimate of the keys projection (the statistic
+        # autoBroadcastJoinThreshold trusts) instead of an eager count():
+        # the count cost one extra Spark action per feed read purely to
+        # pick a join strategy, and either strategy is correct — a wrong
+        # estimate only trades broadcast for shuffle (round 8).
         cand = cand.persist()
-        n_cand = cand.count()
-        if n_cand <= BROADCAST_MAX_ROWS:
+        if _est_bytes(cand.select(*keys)) <= CLASSIFY_BROADCAST_MAX_EST_BYTES:
             old = F.broadcast(
                 old.join(F.broadcast(cand.select(*keys)), on=keys, how="left_semi")
             )
