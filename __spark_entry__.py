@@ -210,7 +210,14 @@ def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_sync_spark.operators.dedup import lww_collapse
 
-    ch = _changes(spark, sf_dir).withColumn("tokens_str", F.expr(TOKENS_SPARK))
+    # single-row-group input: the interpreted 64-element tokens_str
+    # transform would otherwise run in ONE scan task before the LWW agg
+    # (A/B: 1.32s -> 1.02s median); LWW output is partitioning-independent
+    ch = (
+        _changes(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("tokens_str", F.expr(TOKENS_SPARK))
+    )
     win = lww_collapse(ch)
     return win.filter(F.col("op") != "delete").select(
         "doc_id", "log_offset", "seq", "source", "n_tok", "tokens_str"
